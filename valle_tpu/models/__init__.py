@@ -1,0 +1,138 @@
+"""Model factory and CLI arguments.
+
+Capability parity with reference ``valle/models/__init__.py``:
+``add_model_arguments`` (:18) exposes the same flag set; ``get_model``
+(:98) dispatches VALL-E / VALL-F / Transformer(mel).
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import asdict
+
+import jax
+
+from ..utils.common import str2bool
+from .macros import NUM_MEL_BINS
+from .valle import (  # noqa: F401
+    ValleConfig,
+    init_valle,
+    nar_predict_weights,
+    pad_y_eos,
+    stage_params_mask,
+    top10_accuracy,
+    valle_forward,
+)
+from .inference import (  # noqa: F401
+    valle_ar_decode,
+    valle_continual,
+    valle_inference,
+    valle_nar_decode,
+)
+
+
+def add_model_arguments(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--model-name", type=str, default="VALL-E",
+                        help="VALL-E | VALL-F | Transformer.")
+    parser.add_argument("--decoder-dim", type=int, default=1024,
+                        help="Embedding dimension in the decoder model.")
+    parser.add_argument("--nhead", type=int, default=16,
+                        help="Number of attention heads.")
+    parser.add_argument("--num-decoder-layers", type=int, default=12,
+                        help="Number of decoder layers.")
+    parser.add_argument("--scale-factor", type=float, default=1.0,
+                        help="Model scale factor which will be assigned "
+                             "different meanings in different models.")
+    parser.add_argument("--norm-first", type=str2bool, default=True,
+                        help="Pre or Post Normalization.")
+    parser.add_argument("--add-prenet", type=str2bool, default=False,
+                        help="Whether to add PreNet after Inputs.")
+    parser.add_argument("--prefix-mode", type=int, default=0,
+                        help="The mode for how to prefix VALL-E NAR Decoder, "
+                             "0: no prefix, 1: 0 to random, 2: random to "
+                             "random, 4: chunk of pre or post utterance.")
+    parser.add_argument("--share-embedding", type=str2bool, default=True,
+                        help="Share the parameters of the output projection "
+                             "layer with the parameters of the acoustic "
+                             "embedding.")
+    parser.add_argument("--prepend-bos", type=str2bool, default=False,
+                        help="Whether to prepend <BOS> to the acoustic "
+                             "tokens -> AR Decoder inputs.")
+    parser.add_argument("--num-quantizers", type=int, default=8,
+                        help="Number of Audio/Semantic quantization layers.")
+    parser.add_argument("--scaling-xformers", type=str2bool, default=False,
+                        help="Apply the scaling-transformer variant "
+                             "(Transformer model only).")
+
+
+class ValleModel:
+    """Thin OO wrapper bundling a config with the functional API.
+
+    Keeps reference-like ergonomics (``model.forward`` / ``model.inference``
+    / ``model.continual``) over the pure functions.
+    """
+
+    def __init__(self, cfg: ValleConfig):
+        self.cfg = cfg
+
+    def init(self, rng: jax.Array):
+        return init_valle(rng, self.cfg)
+
+    def forward(self, params, batch, **kw):
+        return valle_forward(params, self.cfg, batch, **kw)
+
+    __call__ = forward
+
+    def inference(self, params, text, text_lens, prompt_codes, prompt_lens,
+                  enroll_x_lens=None, **kw):
+        return valle_inference(
+            params, self.cfg, text, text_lens, prompt_codes, prompt_lens,
+            enroll_x_lens, **kw)
+
+    def continual(self, params, text, text_lens, y, y_lens, **kw):
+        return valle_continual(params, self.cfg, text, text_lens, y, y_lens,
+                               **kw)
+
+    def stage_params_mask(self, params, stage: int):
+        return stage_params_mask(params, stage)
+
+    def config_dict(self):
+        return asdict(self.cfg)
+
+
+def get_model(params) -> "ValleModel":
+    """Build a model from an (argparse-derived) params bag.
+
+    Mirrors reference ``valle/models/__init__.py:98-136``.
+    """
+    name = params.model_name.lower()
+    if name == "transformer":
+        from .transformer import TransformerTtsConfig, TransformerTtsModel
+
+        cfg = TransformerTtsConfig(
+            d_model=params.decoder_dim,
+            nhead=params.nhead,
+            num_layers=params.num_decoder_layers,
+            norm_first=params.norm_first,
+            add_prenet=params.add_prenet,
+            scaling_xformers=getattr(params, "scaling_xformers", False),
+            num_mel_bins=NUM_MEL_BINS,
+        )
+        return TransformerTtsModel(cfg)
+
+    if name not in ("vall-e", "valle", "vall-f", "vallf"):
+        raise ValueError(f"unknown model name {params.model_name!r}")
+    cfg = ValleConfig(
+        model_name="vallf" if "f" in name.replace("vall", "") else "valle",
+        d_model=params.decoder_dim,
+        nhead=params.nhead,
+        num_layers=params.num_decoder_layers,
+        norm_first=params.norm_first,
+        add_prenet=params.add_prenet,
+        prefix_mode=params.prefix_mode,
+        share_embedding=params.share_embedding,
+        nar_scale_factor=params.scale_factor,
+        prepend_bos=params.prepend_bos,
+        num_quantizers=params.num_quantizers,
+    )
+    return ValleModel(cfg)

@@ -1,0 +1,380 @@
+"""Zero-shot TTS inference for VALL-E: KV-cache AR decode + 7 NAR passes.
+
+Capability parity with reference ``valle/models/valle.py:961-1238``
+(``VALLE.inference`` and ``VALLE.continual``) with the same semantics:
+
+- AR stop rule: argmax == EOS  OR  sampled == EOS  OR  generated length
+  > 16 x text length (reference valle.py:1044-1048); the stop-triggering
+  sample is discarded.
+- NAR: 7 sequential argmax passes; acoustic-prompt embedding schedule
+  differs between prefix_mode 0 and modes 1/2/4 exactly as in the
+  reference (valle.py:1085-1134).
+- modes 2/4 cut the enrolled phonemes out of the NAR text
+  (valle.py:1068-1079).
+
+TPU-first re-design:
+- the AR loop is a jitted ``lax.while_loop`` over a static KV cache with
+  on-device top-k/top-p sampling — O(T) per token instead of the
+  reference's O(T^2) full-sequence recompute per token;
+- decode is **batched** with per-sample prompt/text lengths and early-exit
+  masks (the reference asserts batch size 1, valle.py:989);
+- all shapes static: callers pad text to S, prompts to P, and pass
+  ``max_gen_len``; outputs are (codes, gen_lens).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..modules import embedding as emb
+from ..modules import transformer as tfm
+from ..ops import masks as M
+from ..ops.sampling import top_k_top_p_filtering
+from .valle import ValleConfig, _pe_table, nar_predict_weights
+
+
+# ---------------------------------------------------------------------------
+# AR decode (decoder-only VALLE path)
+# ---------------------------------------------------------------------------
+
+
+def _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype):
+    """Embed text and audio prefix deterministically (inference)."""
+    B, S = text.shape
+    P = prompt_q0.shape[1]
+    pe_d = _pe_table(cfg, cfg.d_model)
+
+    x = emb.token_embedding(params["ar"]["text_emb"], text, dtype=dtype)
+    x = emb.apply_sine_positional(params["ar"]["text_pe"], x, pe_d)
+
+    if cfg.prepend_bos:
+        prompt_q0 = jnp.pad(prompt_q0, ((0, 0), (1, 0)),
+                            constant_values=cfg.bos_id)
+    y = emb.token_embedding(params["ar"]["audio_emb"], prompt_q0, dtype=dtype)
+    y = emb.apply_sine_positional(params["ar"]["audio_pe"], y, pe_d)
+    return x, y
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "top_k", "max_gen_len", "compute_dtype"),
+)
+def valle_ar_decode(
+    params,
+    cfg: ValleConfig,
+    text: jnp.ndarray,          # (B, S) int32, padded
+    text_lens: jnp.ndarray,     # (B,)
+    prompt_q0: jnp.ndarray,     # (B, P) int32 quantizer-0 prompt codes
+    prompt_lens: jnp.ndarray,   # (B,)
+    rng: jax.Array,
+    *,
+    top_k: int = -100,
+    temperature: float = 1.0,
+    max_gen_len: int = 1024,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched KV-cache AR decode of quantizer-0 codes.
+
+    Returns (gen_codes (B, max_gen_len) int32, gen_lens (B,) int32).
+    """
+    assert cfg.model_name == "valle", "AR fast decode targets VALLE"
+    B, S = text.shape
+    P = prompt_q0.shape[1]
+    bos = int(cfg.prepend_bos)
+    dtype = compute_dtype
+    eos = cfg.eos_id
+
+    x_lens = text_lens.astype(jnp.int32)
+    p_lens = prompt_lens.astype(jnp.int32) + bos   # audio prefix lens
+    cache_len = S + bos + P + max_gen_len + 1
+
+    x, y = _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype)
+    xy = jnp.concatenate([x, y], axis=1)           # (B, S0, D)
+    S0 = S + bos + P
+
+    # Prefill: composite mask (text block bidirectional, audio causal).
+    bias = M.ar_xy_attn_bias(x_lens, p_lens, S, bos + P, dtype=jnp.float32)
+    hidden, cache = tfm.encoder_stack_prefill(
+        params["ar"]["decoder"], xy, bias, nhead=cfg.nhead,
+        cache_len=cache_len, norm_first=cfg.norm_first,
+        activation=cfg.activation, dtype=dtype)
+
+    W = params["ar"]["predict"]["w"].astype(dtype)  # (D, V+1)
+    bidx = jnp.arange(B)
+    last_pos = S + p_lens - 1                        # (B,)
+    logits0 = (hidden[bidx, last_pos] @ W).astype(jnp.float32)
+
+    pe_d = _pe_table(cfg, cfg.d_model)
+    audio_emb_w = params["ar"]["audio_emb"]["weight"]
+
+    def sample(rng_s, logits):
+        lg = logits / temperature
+        lg = top_k_top_p_filtering(lg, top_k=top_k, top_p=1.0)
+        return jax.random.categorical(rng_s, lg, axis=-1)  # (B,)
+
+    def cond_fn(carry):
+        g, done = carry[0], carry[4]
+        return jnp.logical_and(g < max_gen_len, ~jnp.all(done))
+
+    def body_fn(carry):
+        g, rng_c, cache_c, logits, done, gen_codes, gen_lens = carry
+        rng_c, rng_s = jax.random.split(rng_c)
+        samples = sample(rng_s, logits)
+        argmaxes = jnp.argmax(logits, axis=-1)
+        over = g > x_lens * 16
+        stop = (argmaxes == eos) | (samples == eos) | over
+        newly_done = stop & ~done
+        gen_lens = jnp.where(newly_done, g, gen_lens)
+        done = done | stop
+
+        tok = jnp.where(done, eos, samples).astype(jnp.int32)
+        gen_codes = gen_codes.at[bidx, g].set(
+            jnp.where(done, 0, tok))
+
+        # embed the accepted token at audio position p_lens + g
+        audio_pos = p_lens + g                      # (B,)
+        e = jnp.take(audio_emb_w, tok, axis=0).astype(dtype)
+        pe = jnp.take(pe_d, audio_pos, axis=0).astype(dtype)
+        xstep = (e + pe)[:, None, :]                # (B, 1, D)
+
+        write_pos = S + p_lens + g                  # (B,)
+        kk = jnp.arange(cache_len)[None, :]
+        key_valid = (kk < x_lens[:, None]) | (
+            (kk >= S) & (kk <= write_pos[:, None]))
+        step_bias = jnp.where(key_valid, 0.0, M.NEG_INF).astype(
+            jnp.float32)[:, None, None, :]
+
+        hidden_s, cache_c = tfm.encoder_stack_decode_step(
+            params["ar"]["decoder"], xstep, cache_c, write_pos, step_bias,
+            nhead=cfg.nhead, norm_first=cfg.norm_first,
+            activation=cfg.activation, dtype=dtype)
+        new_logits = (hidden_s[:, 0] @ W).astype(jnp.float32)
+        return (g + 1, rng_c, cache_c, new_logits, done, gen_codes, gen_lens)
+
+    init = (
+        jnp.int32(0), rng, cache, logits0,
+        jnp.zeros((B,), bool),
+        jnp.zeros((B, max_gen_len), jnp.int32),
+        jnp.full((B,), max_gen_len, jnp.int32),
+    )
+    g, _, _, _, done, gen_codes, gen_lens = jax.lax.while_loop(
+        cond_fn, body_fn, init)
+    return gen_codes, gen_lens
+
+
+# ---------------------------------------------------------------------------
+# NAR passes
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def valle_nar_decode(
+    params,
+    cfg: ValleConfig,
+    text: jnp.ndarray,            # (B, S) — already enrolled-trimmed if 2/4
+    text_lens: jnp.ndarray,
+    prompt_codes: jnp.ndarray,    # (B, P, Q) all-quantizer prompt codes
+    prompt_lens: jnp.ndarray,
+    gen_q0: jnp.ndarray,          # (B, G) AR output (quantizer 0)
+    gen_lens: jnp.ndarray,
+    *,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """7 sequential NAR argmax passes. Returns codes (B, G, Q).
+
+    Sequence layout: [text(S); prompt(P); generated(G)] with masking for
+    per-sample lengths; PE positions are contiguous per the reference
+    (prompt at 0..p-1, generated at p..p+g-1).
+    """
+    B, S = text.shape
+    P = prompt_codes.shape[1]
+    G = gen_q0.shape[1]
+    Q = cfg.num_quantizers
+    nd = cfg.nar_d_model
+    dtype = compute_dtype
+
+    x_lens = text_lens.astype(jnp.int32)
+    p_lens = prompt_lens.astype(jnp.int32)
+    g_lens = gen_lens.astype(jnp.int32)
+
+    pe_n = _pe_table(cfg, nd)
+    embs_w = params["nar"]["audio_embs"]["weight"]
+
+    x = emb.token_embedding(params["nar"]["text_emb"], text, dtype=dtype)
+    x = emb.apply_sine_positional(params["nar"]["text_pe"], x, pe_n)
+
+    prompt_valid = jnp.arange(P)[None, :] < p_lens[:, None]
+    gen_valid = jnp.arange(G)[None, :] < g_lens[:, None]
+    pc = (prompt_codes.astype(jnp.int32) * prompt_valid[..., None])
+    g0 = gen_q0.astype(jnp.int32) * gen_valid
+
+    # base embedding: quantizer 0 over [prompt; generated]
+    y_emb_p = jnp.take(embs_w[0], pc[..., 0], axis=0).astype(dtype)
+    y_emb_g = jnp.take(embs_w[0], g0, axis=0).astype(dtype)
+
+    if cfg.prefix_mode != 0:
+        # all prompt quantizers summed up-front (reference valle.py:1110-1113)
+        for j in range(1, Q):
+            y_emb_p = y_emb_p + jnp.take(
+                embs_w[j], pc[..., j], axis=0).astype(dtype)
+
+    # attention bias: padding only (keys: valid text/prompt/gen)
+    kk = jnp.arange(S + P + G)[None, :]
+    key_valid = jnp.where(
+        kk < S, kk < x_lens[:, None],
+        jnp.where(kk < S + P, (kk - S) < p_lens[:, None],
+                  (kk - S - P) < g_lens[:, None]))
+    bias = jnp.where(key_valid, 0.0, M.NEG_INF).astype(jnp.float32)[
+        :, None, None, :]
+
+    # PE positions: prompt 0..P-1 (static ok: invalid slots masked);
+    # generated at p_lens + t (per-sample offset)
+    pos_p = jnp.broadcast_to(jnp.arange(P)[None, :], (B, P))
+    pos_g = p_lens[:, None] + jnp.arange(G)[None, :]
+    pe_p = jnp.take(pe_n, pos_p, axis=0).astype(dtype)
+    pe_g = jnp.take(pe_n, jnp.clip(pos_g, 0, cfg.max_len - 1),
+                    axis=0).astype(dtype)
+
+    W = nar_predict_weights(params, cfg)          # (Q-1, nd, V)
+    stage_w = params["nar"]["stage_embs"]["weight"]
+
+    def one_pass(i, carry):
+        y_emb_p_c, y_emb_g_c, codes_out = carry
+        seq = jnp.concatenate(
+            [x, y_emb_p_c + pe_p, y_emb_g_c + pe_g], axis=1)
+        cond = jnp.take(stage_w, i, axis=0)[None, :]
+        dec = tfm.encoder_stack_apply(
+            params["nar"]["decoder"], seq, bias, cond,
+            nhead=cfg.nar_nhead, norm_first=cfg.norm_first,
+            activation=cfg.activation, dropout_rate=0.0,
+            deterministic=True, dtype=dtype)
+        Wi = jnp.take(W, i, axis=0).astype(dtype)  # (nd, V)
+        logits = dec[:, S + P:] @ Wi               # (B, G, V)
+        samples = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        codes_out = codes_out.at[:, :, i + 1].set(samples * gen_valid)
+
+        emb_next = jnp.take(embs_w[i + 1], samples, axis=0).astype(dtype)
+        upd_g = jnp.where((i < Q - 2) & True,
+                          jnp.where(gen_valid[..., None], emb_next, 0.0), 0.0)
+        y_emb_g_c = y_emb_g_c + upd_g
+        if cfg.prefix_mode == 0:
+            # prompt quantizer i+1 added after pass i (reference 1104-1107)
+            pidx = jnp.take_along_axis(
+                pc, jnp.full((B, P, 1), i + 1, jnp.int32), axis=-1)[..., 0]
+            emb_pn = jnp.take(embs_w[i + 1], pidx, axis=0).astype(dtype)
+            upd_p = jnp.where(i < Q - 2,
+                              jnp.where(prompt_valid[..., None], emb_pn, 0.0),
+                              0.0)
+            y_emb_p_c = y_emb_p_c + upd_p
+        return (y_emb_p_c, y_emb_g_c, codes_out)
+
+    codes_out = jnp.zeros((B, G, Q), jnp.int32)
+    codes_out = codes_out.at[:, :, 0].set(g0)
+    _, _, codes_out = jax.lax.fori_loop(
+        0, Q - 1, one_pass, (y_emb_p, y_emb_g, codes_out))
+    return codes_out
+
+
+def trim_enrolled_text(text: jnp.ndarray, text_lens, enroll_x_lens):
+    """Cut enrolled phonemes for NAR in prefix modes 2/4 (static shapes).
+
+    Reference valle.py:1068-1079: text' = [text[:1], text[enroll_len-1:]]
+    (keep BOS, drop the enrolled words, keep target text + EOS). Returns
+    (text', new_lens) with the same padded width; extra tail is masked by
+    the returned lengths.
+    """
+    B, S = text.shape
+    e = enroll_x_lens.astype(jnp.int32)[:, None]       # (B, 1)
+    i = jnp.arange(S)[None, :]
+    src = jnp.where(i == 0, 0, jnp.clip(i + e - 2, 0, S - 1))
+    out = jnp.take_along_axis(text, src, axis=1)
+    new_lens = text_lens.astype(jnp.int32) - (e[:, 0] - 2)
+    return out, new_lens
+
+
+def valle_inference(
+    params,
+    cfg: ValleConfig,
+    text: jnp.ndarray,
+    text_lens: jnp.ndarray,
+    prompt_codes: jnp.ndarray,     # (B, P, Q)
+    prompt_lens: jnp.ndarray,
+    enroll_x_lens: Optional[jnp.ndarray] = None,
+    *,
+    top_k: int = -100,
+    temperature: float = 1.0,
+    rng: Optional[jax.Array] = None,
+    max_gen_len: int = 1024,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full zero-shot synthesis: AR decode then NAR refinement.
+
+    Returns (codes (B, max_gen_len, Q), gen_lens (B,)).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    gen_q0, gen_lens = valle_ar_decode(
+        params, cfg, text, text_lens, prompt_codes[..., 0], prompt_lens,
+        rng, top_k=top_k, temperature=temperature, max_gen_len=max_gen_len,
+        compute_dtype=compute_dtype)
+    if cfg.num_quantizers == 1:
+        return gen_q0[..., None], gen_lens
+
+    nar_text, nar_text_lens = text, text_lens
+    if cfg.prefix_mode in (2, 4) and enroll_x_lens is not None:
+        nar_text, nar_text_lens = trim_enrolled_text(
+            text, text_lens, enroll_x_lens)
+
+    codes = valle_nar_decode(
+        params, cfg, nar_text, nar_text_lens, prompt_codes, prompt_lens,
+        gen_q0, gen_lens, compute_dtype=compute_dtype)
+    return codes, gen_lens
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def valle_continual(
+    params,
+    cfg: ValleConfig,
+    text: jnp.ndarray,
+    text_lens: jnp.ndarray,
+    y: jnp.ndarray,               # (B, T, Q) full utterance codes
+    y_lens: jnp.ndarray,
+    *,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Codec-resynthesis diagnostic (reference valle.py:1139-1238).
+
+    Keeps quantizer-0 of the second half and regenerates quantizers 1..7.
+    prefix = min(T/2, 225). Returns (codes (B, T, Q), out_lens) where the
+    first ``prefix`` frames are zeros (reference returns y[prefix:]; we
+    keep a static T and report out_lens = y_lens - prefix).
+    """
+    B, T, Q = y.shape
+    y = y.astype(jnp.int32)
+    y_lens = y_lens.astype(jnp.int32)
+    prefix_len = jnp.minimum((jnp.min(y_lens) * 0.5).astype(jnp.int32),
+                             3 * 75)
+    pos = jnp.arange(T)[None, :]
+    in_prompt = pos < prefix_len                  # (1, T) -> broadcast
+    valid = pos < y_lens[:, None]
+
+    # layout: single contiguous y region; prompt is the first prefix frames
+    prompt_codes = jnp.where(in_prompt[..., None], y, 0)
+    gen_q0 = jnp.where(in_prompt | ~valid, 0, y[..., 0])
+
+    # Reuse the NAR machinery with a mask-based single-region layout:
+    # treat prompt region as "prompt" slots and the rest as "generated".
+    # Build per-sample shifted views: generated tokens start at prefix.
+    idx = jnp.clip(pos + prefix_len, 0, T - 1)
+    gen_q0_shift = jnp.take_along_axis(y[..., 0] * valid, idx, axis=1)
+    gen_lens = y_lens - prefix_len
+    codes = valle_nar_decode(
+        params, cfg, text, text_lens,
+        prompt_codes[:, : cfg.max_prefix_len],
+        jnp.broadcast_to(prefix_len, (B,)),
+        gen_q0_shift, gen_lens, compute_dtype=compute_dtype)
+    return codes, gen_lens

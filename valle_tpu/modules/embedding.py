@@ -1,0 +1,89 @@
+"""Token and sinusoidal positional embeddings (pure-functional JAX).
+
+Capability parity with reference ``valle/modules/embedding.py``:
+- ``TokenEmbedding`` (embedding lookup + dropout, weight exposed for tying)
+- ``SinePositionalEmbedding`` with a **learnable scalar alpha** (alpha is a
+  trainable param for the AR stacks and fixed 1.0 for NAR, per reference
+  ``valle/models/valle.py:128-139,218-229``).
+
+TPU-first differences: the PE table is precomputed once to a static
+``max_len`` (no lazy host-side extension as in the reference's
+``extend_pe``); everything is a pure function over explicit param pytrees so
+it composes with jit/scan/while_loop.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def init_token_embedding(rng, vocab_size: int, dim: int, dtype=jnp.float32):
+    """N(0,1) init, matching torch nn.Embedding defaults."""
+    return {"weight": jax.random.normal(rng, (vocab_size, dim), dtype=dtype)}
+
+
+def token_embedding(params, ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """Lookup: ids (...,) int -> (..., D)."""
+    w = params["weight"]
+    if dtype is not None:
+        w = w.astype(dtype)
+    return jnp.take(w, ids, axis=0)
+
+
+def sine_positional_table(max_len: int, dim: int) -> jnp.ndarray:
+    """(max_len, dim) fp32 sin/cos table, interleaved as in the reference."""
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(
+        jnp.arange(0, dim, 2, dtype=jnp.float32)
+        * -(math.log(10000.0) / dim)
+    )
+    angles = position * div_term  # (max_len, dim//2)
+    pe = jnp.zeros((max_len, dim), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angles))
+    pe = pe.at[:, 1::2].set(jnp.cos(angles))
+    return pe
+
+
+def init_sine_positional(alpha_trainable: bool):
+    """PE has one optional scalar param: alpha. The table itself is static."""
+    if alpha_trainable:
+        return {"alpha": jnp.ones((1,), dtype=jnp.float32)}
+    return {}
+
+
+def apply_sine_positional(
+    params,
+    x: jnp.ndarray,
+    pe_table: jnp.ndarray,
+    *,
+    offset: int | jnp.ndarray = 0,
+    x_scale: float = 1.0,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """x: (B, T, D). Adds alpha * pe[offset:offset+T] and applies dropout.
+
+    ``offset`` supports incremental decoding (position of x[:, 0]).
+    """
+    T, D = x.shape[-2], x.shape[-1]
+    alpha = params.get("alpha", jnp.ones((1,), dtype=jnp.float32))
+    pe = jax.lax.dynamic_slice_in_dim(pe_table, offset, T, axis=0)
+    out = x * jnp.asarray(x_scale, x.dtype) + (
+        alpha.astype(x.dtype) * pe.astype(x.dtype)
+    )
+    if not deterministic and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, out.shape)
+        out = jnp.where(keep, out / (1.0 - dropout_rate), 0.0)
+    return out
+
+
+def dropout(x, rate: float, rng, deterministic: bool):
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)

@@ -1,0 +1,505 @@
+"""Pure-functional Transformer stacks with optional adaptive layer norm.
+
+Capability parity with reference ``valle/modules/transformer.py`` +
+``valle/modules/activation.py``: pre/post-norm encoder and decoder layers,
+plain LayerNorm or AdaptiveLayerNorm (stage-conditioned affine modulation,
+reference ``transformer.py:83-108``), relu/gelu FFN, multi-head attention
+with additive masks.
+
+TPU-first design:
+- explicit parameter pytrees, layers stacked on a leading axis and executed
+  with ``lax.scan`` (one compiled layer body regardless of depth);
+- the reference's ``(tensor, stage_embedding)`` tuple threading is replaced
+  by a clean optional ``cond`` argument;
+- attention takes a single pre-composed additive bias (see ``ops/masks.py``);
+- a static KV cache + single-token decode path for the AR inference loop
+  (the reference recomputes the full sequence per token,
+  ``valle/models/valle.py:1004-1057``);
+- softmax/LayerNorm statistics in fp32 regardless of compute dtype.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .embedding import dropout as _dropout
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+
+def _xavier_uniform(rng, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[0], shape[-1]
+    a = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(rng, shape, dtype, minval=-a, maxval=a)
+
+
+def _kaiming_uniform_linear(rng, d_in, d_out, dtype=jnp.float32):
+    """torch nn.Linear default: kaiming_uniform(a=sqrt(5)) => U(±1/sqrt(fan_in))·sqrt(3)."""
+    bound = math.sqrt(1.0 / d_in) * math.sqrt(3.0)
+    return jax.random.uniform(rng, (d_in, d_out), dtype, -bound, bound)
+
+
+def init_linear(rng, d_in: int, d_out: int, bias: bool = True):
+    wkey, bkey = jax.random.split(rng)
+    p = {"w": _kaiming_uniform_linear(wkey, d_in, d_out)}
+    if bias:
+        bound = 1.0 / math.sqrt(d_in)
+        p["b"] = jax.random.uniform(bkey, (d_out,), jnp.float32, -bound, bound)
+    return p
+
+
+def linear(p, x, dtype=None):
+    w = p["w"]
+    if dtype is not None:
+        w = w.astype(dtype)
+    y = x @ w
+    if "b" in p:
+        b = p["b"]
+        if dtype is not None:
+            b = b.astype(dtype)
+        y = y + b
+    return y
+
+
+def init_layer_norm(d: int):
+    return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def init_ada_layer_norm(rng, d: int):
+    """AdaptiveLayerNorm: affine from projected conditioning vector."""
+    return {
+        "proj": init_linear(rng, d, 2 * d, bias=True),
+        "norm": init_layer_norm(d),
+    }
+
+
+def ada_layer_norm(p, x, cond, eps: float = 1e-5):
+    """cond: (1|B, d) stage embedding -> weight/bias (reference transformer.py:93-108)."""
+    wb = linear(p["proj"], cond.astype(jnp.float32))
+    weight, bias = jnp.split(wb, 2, axis=-1)
+    y = layer_norm(p["norm"], x, eps)
+    return (weight[:, None, :].astype(x.dtype) * y
+            + bias[:, None, :].astype(x.dtype))
+
+
+def apply_norm(p, x, cond=None, eps: float = 1e-5):
+    """Dispatch on the param structure: AdaLN iff a 'proj' sub-tree exists."""
+    if "proj" in p:
+        return ada_layer_norm(p, x, cond, eps)
+    return layer_norm(p, x, eps)
+
+
+# ---------------------------------------------------------------------------
+# Multi-head attention (full-sequence and cached-decode paths)
+# ---------------------------------------------------------------------------
+
+
+def init_mha(rng, d: int, nhead: int):
+    """Single fused in-projection like torch MHA (in_proj [d, 3d]) + out proj."""
+    k1, k2 = jax.random.split(rng)
+    return {
+        "in_w": _xavier_uniform(k1, (d, 3 * d)),
+        "in_b": jnp.zeros((3 * d,)),
+        "out_w": _kaiming_uniform_linear(k2, d, d),
+        "out_b": jnp.zeros((d,)),
+    }
+
+
+def _split_heads(x, nhead):
+    B, T, D = x.shape
+    return x.reshape(B, T, nhead, D // nhead).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    B, H, T, Dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
+
+
+def _attend(q, k, v, bias, *, dropout_rate=0.0, rng=None, deterministic=True):
+    """q,k,v: (B, H, T, Dh); bias broadcastable to (B, H, Tq, Tk)."""
+    dh = q.shape[-1]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(dh)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = _dropout(probs, dropout_rate, rng, deterministic)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+def mha_self(p, x, bias, nhead, *, dropout_rate=0.0, rng=None,
+             deterministic=True, dtype=None):
+    """Full-sequence self-attention. x: (B, T, D)."""
+    in_w = p["in_w"] if dtype is None else p["in_w"].astype(dtype)
+    in_b = p["in_b"] if dtype is None else p["in_b"].astype(dtype)
+    qkv = x @ in_w + in_b
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    out = _attend(
+        _split_heads(q, nhead), _split_heads(k, nhead), _split_heads(v, nhead),
+        bias, dropout_rate=dropout_rate, rng=rng, deterministic=deterministic,
+    )
+    out = _merge_heads(out)
+    out_w = p["out_w"] if dtype is None else p["out_w"].astype(dtype)
+    out_b = p["out_b"] if dtype is None else p["out_b"].astype(dtype)
+    return out @ out_w + out_b
+
+
+def mha_self_kv(p, x, nhead, dtype=None):
+    """Project k, v only (for prefill/cross-memory caching)."""
+    d = x.shape[-1]
+    in_w = p["in_w"] if dtype is None else p["in_w"].astype(dtype)
+    in_b = p["in_b"] if dtype is None else p["in_b"].astype(dtype)
+    kv = x @ in_w[:, d:] + in_b[d:]
+    k, v = jnp.split(kv, 2, axis=-1)
+    return _split_heads(k, nhead), _split_heads(v, nhead)
+
+
+def mha_cross(p, xq, mem_k, mem_v, bias, nhead, *, dropout_rate=0.0, rng=None,
+              deterministic=True, dtype=None):
+    """Cross-attention with precomputed memory k/v (B, H, S, Dh)."""
+    d = xq.shape[-1]
+    in_w = p["in_w"] if dtype is None else p["in_w"].astype(dtype)
+    in_b = p["in_b"] if dtype is None else p["in_b"].astype(dtype)
+    q = xq @ in_w[:, :d] + in_b[:d]
+    out = _attend(
+        _split_heads(q, nhead), mem_k, mem_v, bias,
+        dropout_rate=dropout_rate, rng=rng, deterministic=deterministic,
+    )
+    out = _merge_heads(out)
+    out_w = p["out_w"] if dtype is None else p["out_w"].astype(dtype)
+    out_b = p["out_b"] if dtype is None else p["out_b"].astype(dtype)
+    return out @ out_w + out_b
+
+
+def mha_decode_step(p, x, cache_k, cache_v, pos, bias, nhead, dtype=None):
+    """One-token self-attention against a static KV cache.
+
+    x: (B, 1, D); cache_k/v: (B, H, Tmax, Dh); pos: (B,) per-sample indices
+    where the new k/v are written (samples may sit at different sequence
+    offsets, e.g. unequal prompt lengths in batched AR decode). bias:
+    (B, 1, 1, Tmax) additive key mask (must mask unwritten positions).
+    Returns (out, new_cache_k, new_cache_v).
+    """
+    B = x.shape[0]
+    in_w = p["in_w"] if dtype is None else p["in_w"].astype(dtype)
+    in_b = p["in_b"] if dtype is None else p["in_b"].astype(dtype)
+    qkv = x @ in_w + in_b
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = _split_heads(q, nhead)           # (B, H, 1, Dh)
+    k = _split_heads(k, nhead)           # (B, H, 1, Dh)
+    v = _split_heads(v, nhead)
+    bidx = jnp.arange(B)
+    cache_k = cache_k.at[bidx, :, pos, :].set(k[:, :, 0, :])
+    cache_v = cache_v.at[bidx, :, pos, :].set(v[:, :, 0, :])
+    out = _attend(q, cache_k, cache_v, bias)
+    out = _merge_heads(out)
+    out_w = p["out_w"] if dtype is None else p["out_w"].astype(dtype)
+    out_b = p["out_b"] if dtype is None else p["out_b"].astype(dtype)
+    return out @ out_w + out_b, cache_k, cache_v
+
+
+# ---------------------------------------------------------------------------
+# Encoder layer / stack
+# ---------------------------------------------------------------------------
+
+_ACTIVATIONS = {"relu": jax.nn.relu, "gelu": jax.nn.gelu}
+
+
+def init_encoder_layer(rng, d: int, nhead: int, dim_ff: int, adaptive: bool):
+    ks = jax.random.split(rng, 6)
+    norm_init = (lambda r: init_ada_layer_norm(r, d)) if adaptive else (
+        lambda r: init_layer_norm(d))
+    return {
+        "self_attn": init_mha(ks[0], d, nhead),
+        "ffn": {
+            "lin1": init_linear(ks[1], d, dim_ff),
+            "lin2": init_linear(ks[2], dim_ff, d),
+        },
+        "norm1": norm_init(ks[3]),
+        "norm2": norm_init(ks[4]),
+    }
+
+
+def init_decoder_layer(rng, d: int, nhead: int, dim_ff: int, adaptive: bool):
+    ks = jax.random.split(rng, 7)
+    p = init_encoder_layer(rng, d, nhead, dim_ff, adaptive)
+    norm_init = (lambda r: init_ada_layer_norm(r, d)) if adaptive else (
+        lambda r: init_layer_norm(d))
+    p["cross_attn"] = init_mha(ks[5], d, nhead)
+    p["norm3"] = norm_init(ks[6])
+    return p
+
+
+def _ffn(p, x, activation, *, dropout_rate, rng, deterministic, dtype):
+    h = _ACTIVATIONS[activation](linear(p["lin1"], x, dtype))
+    h = _dropout(h, dropout_rate, rng, deterministic)
+    return linear(p["lin2"], h, dtype)
+
+
+def encoder_layer_apply(
+    p, x, bias, cond, *, nhead, norm_first=True, activation="relu",
+    dropout_rate=0.0, rng=None, deterministic=True, dtype=None,
+):
+    """One pre/post-norm encoder layer (reference transformer.py:296-308)."""
+    if rng is not None:
+        r_attn, r_d1, r_ffn, r_d2 = jax.random.split(rng, 4)
+    else:
+        r_attn = r_d1 = r_ffn = r_d2 = None
+
+    def sa(h):
+        out = mha_self(p["self_attn"], h, bias, nhead,
+                       dropout_rate=dropout_rate, rng=r_attn,
+                       deterministic=deterministic, dtype=dtype)
+        return _dropout(out, dropout_rate, r_d1, deterministic)
+
+    def ff(h):
+        out = _ffn(p["ffn"], h, activation, dropout_rate=dropout_rate,
+                   rng=r_ffn, deterministic=deterministic, dtype=dtype)
+        return _dropout(out, dropout_rate, r_d2, deterministic)
+
+    if norm_first:
+        x = x + sa(apply_norm(p["norm1"], x, cond))
+        x = x + ff(apply_norm(p["norm2"], x, cond))
+    else:
+        x = apply_norm(p["norm1"], x + sa(x), cond)
+        x = apply_norm(p["norm2"], x + ff(x), cond)
+    return x
+
+
+def decoder_layer_apply(
+    p, x, mem_k, mem_v, self_bias, cross_bias, cond, *, nhead,
+    norm_first=True, activation="relu", dropout_rate=0.0, rng=None,
+    deterministic=True, dtype=None,
+):
+    """Decoder layer with cross-attention (reference transformer.py:534-557)."""
+    if rng is not None:
+        r1, r2, r3, r4, r5, r6 = jax.random.split(rng, 6)
+    else:
+        r1 = r2 = r3 = r4 = r5 = r6 = None
+
+    def sa(h):
+        out = mha_self(p["self_attn"], h, self_bias, nhead,
+                       dropout_rate=dropout_rate, rng=r1,
+                       deterministic=deterministic, dtype=dtype)
+        return _dropout(out, dropout_rate, r2, deterministic)
+
+    def ca(h):
+        out = mha_cross(p["cross_attn"], h, mem_k, mem_v, cross_bias, nhead,
+                        dropout_rate=dropout_rate, rng=r3,
+                        deterministic=deterministic, dtype=dtype)
+        return _dropout(out, dropout_rate, r4, deterministic)
+
+    def ff(h):
+        out = _ffn(p["ffn"], h, activation, dropout_rate=dropout_rate,
+                   rng=r5, deterministic=deterministic, dtype=dtype)
+        return _dropout(out, dropout_rate, r6, deterministic)
+
+    if norm_first:
+        x = x + sa(apply_norm(p["norm1"], x, cond))
+        x = x + ca(apply_norm(p["norm2"], x, cond))
+        x = x + ff(apply_norm(p["norm3"], x, cond))
+    else:
+        x = apply_norm(p["norm1"], x + sa(x), cond)
+        x = apply_norm(p["norm2"], x + ca(x), cond)
+        x = apply_norm(p["norm3"], x + ff(x), cond)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Stacks (scan over stacked layer params)
+# ---------------------------------------------------------------------------
+
+
+def init_encoder_stack(rng, num_layers, d, nhead, dim_ff, adaptive,
+                       final_norm: bool):
+    lrngs = jax.random.split(rng, num_layers + 1)
+    layers = jax.vmap(
+        partial(init_encoder_layer, d=d, nhead=nhead, dim_ff=dim_ff,
+                adaptive=adaptive)
+    )(lrngs[:num_layers])
+    p = {"layers": layers}
+    if final_norm:
+        p["final_norm"] = (
+            init_ada_layer_norm(lrngs[-1], d) if adaptive
+            else init_layer_norm(d)
+        )
+    return p
+
+
+def init_decoder_stack(rng, num_layers, d, nhead, dim_ff, adaptive,
+                       final_norm: bool):
+    lrngs = jax.random.split(rng, num_layers + 1)
+    layers = jax.vmap(
+        partial(init_decoder_layer, d=d, nhead=nhead, dim_ff=dim_ff,
+                adaptive=adaptive)
+    )(lrngs[:num_layers])
+    p = {"layers": layers}
+    if final_norm:
+        p["final_norm"] = (
+            init_ada_layer_norm(lrngs[-1], d) if adaptive
+            else init_layer_norm(d)
+        )
+    return p
+
+
+def encoder_stack_apply(
+    p, x, bias, cond=None, *, nhead, norm_first=True, activation="relu",
+    dropout_rate=0.0, rng=None, deterministic=True, dtype=None, remat=False,
+):
+    """Run the scanned layer stack; returns (B, T, D)."""
+    num_layers = jax.tree_util.tree_leaves(p["layers"])[0].shape[0]
+
+    def body(h, inp):
+        lp, i = inp
+        lrng = None if rng is None else jax.random.fold_in(rng, i)
+        h = encoder_layer_apply(
+            lp, h, bias, cond, nhead=nhead, norm_first=norm_first,
+            activation=activation, dropout_rate=dropout_rate, rng=lrng,
+            deterministic=deterministic, dtype=dtype,
+        )
+        return h, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, (p["layers"], jnp.arange(num_layers)))
+    if "final_norm" in p:
+        x = apply_norm(p["final_norm"], x, cond)
+    return x
+
+
+def decoder_stack_apply(
+    p, x, memory, self_bias, cross_bias, cond=None, *, nhead,
+    norm_first=True, activation="relu", dropout_rate=0.0, rng=None,
+    deterministic=True, dtype=None, remat=False,
+):
+    """Cross-attending decoder stack (VALL-F). memory: (B, S, D)."""
+    num_layers = jax.tree_util.tree_leaves(p["layers"])[0].shape[0]
+
+    def body(h, inp):
+        lp, i = inp
+        lrng = None if rng is None else jax.random.fold_in(rng, i)
+        mk, mv = mha_self_kv(lp["cross_attn"], memory, nhead, dtype=dtype)
+        h = decoder_layer_apply(
+            lp, h, mk, mv, self_bias, cross_bias, cond, nhead=nhead,
+            norm_first=norm_first, activation=activation,
+            dropout_rate=dropout_rate, rng=lrng,
+            deterministic=deterministic, dtype=dtype,
+        )
+        return h, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, (p["layers"], jnp.arange(num_layers)))
+    if "final_norm" in p:
+        x = apply_norm(p["final_norm"], x, cond)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# KV-cache decode paths (AR inference)
+# ---------------------------------------------------------------------------
+
+
+def encoder_stack_prefill(
+    p, x, bias, *, nhead, cache_len: int, norm_first=True, activation="relu",
+    dtype=None,
+):
+    """Full forward over the prefix AND build the KV cache.
+
+    Returns (hidden, cache) where cache = {"k": (L, B, H, Tmax, Dh),
+    "v": ...} with the first ``T`` positions filled.
+    """
+    B, T, D = x.shape
+    dh = D // nhead
+
+    def body(h, lp):
+        # recompute k, v (cheap relative to attention) and also return them
+        in_w = lp["self_attn"]["in_w"] if dtype is None else (
+            lp["self_attn"]["in_w"].astype(dtype))
+        in_b = lp["self_attn"]["in_b"] if dtype is None else (
+            lp["self_attn"]["in_b"].astype(dtype))
+        hin = apply_norm(lp["norm1"], h, None) if norm_first else h
+        qkv = hin @ in_w + in_b
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        qh, kh, vh = (_split_heads(t, nhead) for t in (q, k, v))
+        attn = _attend(qh, kh, vh, bias)
+        attn = _merge_heads(attn)
+        out_w = lp["self_attn"]["out_w"] if dtype is None else (
+            lp["self_attn"]["out_w"].astype(dtype))
+        out_b = lp["self_attn"]["out_b"] if dtype is None else (
+            lp["self_attn"]["out_b"].astype(dtype))
+        sa_out = attn @ out_w + out_b
+        if norm_first:
+            h = h + sa_out
+            h = h + _ffn(lp["ffn"], apply_norm(lp["norm2"], h, None),
+                         activation, dropout_rate=0.0, rng=None,
+                         deterministic=True, dtype=dtype)
+        else:
+            h = apply_norm(lp["norm1"], h + sa_out, None)
+            h = apply_norm(lp["norm2"], h + _ffn(
+                lp["ffn"], h, activation, dropout_rate=0.0, rng=None,
+                deterministic=True, dtype=dtype), None)
+        # pad cache to cache_len
+        pad = cache_len - T
+        kc = jnp.pad(kh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vc = jnp.pad(vh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return h, (kc, vc)
+
+    h, (ks, vs) = jax.lax.scan(body, x, p["layers"])
+    if "final_norm" in p:
+        h = apply_norm(p["final_norm"], h, None)
+    return h, {"k": ks, "v": vs}
+
+
+def encoder_stack_decode_step(
+    p, x, cache, pos, bias, *, nhead, norm_first=True, activation="relu",
+    dtype=None,
+):
+    """One decode step through all layers. x: (B, 1, D); pos: (B,) indices.
+
+    bias: (B, 1, 1, Tmax) additive mask for valid keys (incl. pos itself).
+    Returns (hidden (B, 1, D), new_cache).
+    """
+
+    def body(h, inp):
+        lp, ck, cv = inp
+        hin = apply_norm(lp["norm1"], h, None) if norm_first else h
+        sa_out, ck, cv = mha_decode_step(
+            lp["self_attn"], hin, ck, cv, pos, bias, nhead, dtype=dtype)
+        if norm_first:
+            h = h + sa_out
+            h = h + _ffn(lp["ffn"], apply_norm(lp["norm2"], h, None),
+                         activation, dropout_rate=0.0, rng=None,
+                         deterministic=True, dtype=dtype)
+        else:
+            h = apply_norm(lp["norm1"], h + sa_out, None)
+            h = apply_norm(lp["norm2"], h + _ffn(
+                lp["ffn"], h, activation, dropout_rate=0.0, rng=None,
+                deterministic=True, dtype=dtype), None)
+        return h, (ck, cv)
+
+    h, (ks, vs) = jax.lax.scan(body, x, (p["layers"], cache["k"], cache["v"]))
+    if "final_norm" in p:
+        h = apply_norm(p["final_norm"], h, None)
+    return h, {"k": ks, "v": vs}

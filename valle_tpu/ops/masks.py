@@ -1,0 +1,95 @@
+"""Attention-mask construction as additive biases (static shapes).
+
+The reference builds boolean masks and merges key-padding per-head into a
+float -inf mask on every forward (``valle/models/valle.py:835-861``). Here we
+build a single additive bias array ``(B, 1, S, S)`` once per step from the
+lengths — XLA folds the adds into the attention kernel, and no per-head
+expansion is materialized.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def ar_xy_attn_bias(
+    x_lens: jnp.ndarray,
+    y_lens: jnp.ndarray,
+    x_len: int,
+    y_len: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Composite AR mask for the concatenated ``[text; audio]`` sequence.
+
+    Parity with reference ``valle/models/valle.py:835-861``: the text block is
+    fully visible (bidirectional), the audio block is causal, audio rows see
+    all text, text rows see no audio; padded keys (per the lengths) are
+    masked everywhere.
+
+    Returns an additive bias of shape (B, 1, S, S), S = x_len + y_len, with
+    0 at visible positions and -inf at masked ones.
+    """
+    S = x_len + y_len
+    pos = jnp.arange(S)
+    is_y = pos >= x_len  # (S,) query/key in audio region?
+
+    # Structure: query q may attend key k iff
+    #   (q in text and k in text) or (q in audio and (k in text or k <= q))
+    q = pos[:, None]
+    k = pos[None, :]
+    text_q_ok = (~is_y[:, None]) & (~is_y[None, :])
+    audio_q_ok = is_y[:, None] & ((~is_y[None, :]) | (k <= q))
+    visible = text_q_ok | audio_q_ok  # (S, S)
+
+    # Key padding: key k valid iff (k < x_lens[b]) in text, or
+    # (k - x_len < y_lens[b]) in audio.
+    kk = pos[None, :]
+    key_valid = jnp.where(
+        kk < x_len,
+        kk < x_lens[:, None],
+        (kk - x_len) < y_lens[:, None],
+    )  # (B, S)
+
+    mask = visible[None, :, :] & key_valid[:, None, :]
+    bias = jnp.where(mask, 0.0, NEG_INF).astype(dtype)
+    return bias[:, None, :, :]
+
+
+def padding_attn_bias(
+    x_lens: jnp.ndarray,
+    y_lens: jnp.ndarray,
+    x_len: int,
+    y_len: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Bidirectional (NAR) bias over ``[text; audio]``: only padded keys masked.
+
+    Parity with the NAR branch's ``src_key_padding_mask``
+    (reference ``valle/models/valle.py:920-925``). Shape (B, 1, 1, S).
+    """
+    S = x_len + y_len
+    kk = jnp.arange(S)[None, :]
+    key_valid = jnp.where(
+        kk < x_len,
+        kk < x_lens[:, None],
+        (kk - x_len) < y_lens[:, None],
+    )
+    bias = jnp.where(key_valid, 0.0, NEG_INF).astype(dtype)
+    return bias[:, None, None, :]
+
+
+def causal_bias(T: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(1, 1, T, T) strictly-causal additive bias."""
+    q = jnp.arange(T)[:, None]
+    k = jnp.arange(T)[None, :]
+    return jnp.where(k <= q, 0.0, NEG_INF).astype(dtype)[None, None]
+
+
+def key_padding_bias(lens: jnp.ndarray, T: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(B, 1, 1, T) bias masking padded keys."""
+    kk = jnp.arange(T)[None, :]
+    return jnp.where(kk < lens[:, None], 0.0, NEG_INF).astype(dtype)[
+        :, None, None, :
+    ]
