@@ -1,0 +1,79 @@
+"""Greedy-decode token parity: our KV-cache lax.while_loop AR decode + NAR
+passes must produce the same token sequences as the reference's full-sequence
+recompute loop (top_k=1 makes both deterministic).
+
+This is the north-star check from BASELINE.md: "AR token outputs match the
+PyTorch reference at fp32 under greedy decoding".
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from test_torch_parity import build_pair  # noqa: E402
+
+from valle_tpu.models import valle_continual, valle_inference  # noqa: E402
+
+S, P, Q = 8, 6, 8
+
+
+def _inputs(seed):
+    g = torch.Generator().manual_seed(seed)
+    x = torch.randint(0, 100, (1, S), generator=g)
+    x_lens = torch.tensor([S])
+    prompts = torch.randint(0, 1024, (1, P, Q), generator=g)
+    return x, x_lens, prompts
+
+
+@pytest.mark.parametrize("prefix_mode", [0, 1])
+def test_greedy_decode_token_parity(prefix_mode):
+    ref, cfg, params, _ = build_pair(model_name="valle",
+                                     prefix_mode=prefix_mode)
+    x, x_lens, prompts = _inputs(seed=11)
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref_codes = ref.inference(x, x_lens, prompts,
+                                  enroll_x_lens=x_lens, top_k=1,
+                                  temperature=1.0)
+    ref_codes = ref_codes.numpy()[0]  # (Tgen, Q)
+
+    max_gen = 16 * S + 8
+    codes, gen_lens = valle_inference(
+        params, cfg,
+        jnp.asarray(x.numpy()), jnp.asarray(x_lens.numpy()),
+        jnp.asarray(prompts.numpy()), jnp.asarray([P]),
+        top_k=1, temperature=1.0, rng=jax.random.PRNGKey(0),
+        max_gen_len=max_gen)
+    gl = int(gen_lens[0])
+
+    assert gl == ref_codes.shape[0], (gl, ref_codes.shape)
+    ours = np.asarray(codes[0, :gl])  # (Tgen, Q)
+    # quantizer 0 must match exactly
+    np.testing.assert_array_equal(ours[:, 0], ref_codes[:, 0])
+    # NAR stages are pure argmax -> exact match too
+    np.testing.assert_array_equal(ours, ref_codes)
+
+
+def test_continual_token_parity():
+    ref, cfg, params, _ = build_pair(model_name="valle", prefix_mode=0)
+    x, x_lens, _ = _inputs(seed=13)
+    g = torch.Generator().manual_seed(14)
+    T = 24
+    y = torch.randint(0, 1024, (1, T, Q), generator=g)
+
+    with torch.no_grad():
+        ref_codes = ref.continual(x, x_lens, y).numpy()[0]  # (T-prefix, Q)
+
+    codes, out_lens = valle_continual(
+        params, cfg, jnp.asarray(x.numpy()), jnp.asarray(x_lens.numpy()),
+        jnp.asarray(y.numpy()), jnp.asarray([T]))
+    gl = int(out_lens[0])
+    assert gl == ref_codes.shape[0]
+    ours = np.asarray(codes[0, :gl])
+    np.testing.assert_array_equal(ours, ref_codes)

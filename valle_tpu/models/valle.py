@@ -297,6 +297,7 @@ def valle_forward(
     deterministic: bool = False,
     compute_dtype=jnp.float32,
     state: Optional[Dict] = None,
+    nar_stage: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict]:
     """Training forward: returns (loss_sum, metrics, new_state).
 
@@ -312,7 +313,7 @@ def valle_forward(
         return _vallf_forward(
             params, cfg, batch, train_stage=train_stage, rng=rng,
             deterministic=deterministic, compute_dtype=compute_dtype,
-            state=state)
+            state=state, nar_stage=nar_stage)
 
     state = state or {"ar": {}, "nar": {}}
     new_state = jax.tree_util.tree_map(lambda x: x, state)
@@ -373,9 +374,12 @@ def valle_forward(
     # ---------------- NAR branch ----------------
     if train_stage in (0, 2):
         nar_y = ar_y[:, 1:] if cfg.prepend_bos else ar_y  # codes0 w/ EOS pads
-        nar_stage = (
-            jax.random.randint(rngs[3], (), 1, cfg.num_quantizers)
-            if rngs[3] is not None else jnp.int32(1))
+        if nar_stage is None:
+            nar_stage = (
+                jax.random.randint(rngs[3], (), 1, cfg.num_quantizers)
+                if rngs[3] is not None else jnp.int32(1))
+        else:
+            nar_stage = jnp.asarray(nar_stage, jnp.int32)
 
         xn, new_state["nar"] = _text_frontend(
             params["nar"], state.get("nar", {}), cfg, text, branch="nar",
@@ -548,7 +552,7 @@ def _nar_branch(params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
 
 
 def _vallf_forward(params, cfg, batch, *, train_stage, rng, deterministic,
-                   compute_dtype, state):
+                   compute_dtype, state, nar_stage=None):
     """VALL-F: text encodes as cross-attention memory (reference valle.py:395)."""
     state = state or {"ar": {}, "nar": {}}
     new_state = jax.tree_util.tree_map(lambda x: x, state)
@@ -602,9 +606,12 @@ def _vallf_forward(params, cfg, batch, *, train_stage, rng, deterministic,
 
     if train_stage in (0, 2):
         nar_y = ar_y[:, 1:] if cfg.prepend_bos else ar_y
-        nar_stage = (
-            jax.random.randint(rngs[3], (), 1, cfg.num_quantizers)
-            if rngs[3] is not None else jnp.int32(1))
+        if nar_stage is None:
+            nar_stage = (
+                jax.random.randint(rngs[3], (), 1, cfg.num_quantizers)
+                if rngs[3] is not None else jnp.int32(1))
+        else:
+            nar_stage = jnp.asarray(nar_stage, jnp.int32)
         xn, new_state["nar"] = _text_frontend(
             params["nar"], state.get("nar", {}), cfg, text, branch="nar",
             rng=rngs[4], training=training, dtype=compute_dtype)
