@@ -107,8 +107,31 @@ def load_reference_valle():
     sys.modules["valle.data"] = vdata
     sys.modules["valle.data.input_strategies"] = vis
 
+    # ---- lhotse stub (only fix_random_seed is touched by optim.py) --------
+    lhotse = types.ModuleType("lhotse")
+    lhotse_utils = types.ModuleType("lhotse.utils")
+
+    def fix_random_seed(seed):
+        import random as _r
+
+        _r.seed(seed)
+        torch.manual_seed(seed)
+
+    lhotse_utils.fix_random_seed = fix_random_seed
+    lhotse.utils = lhotse_utils
+    sys.modules.setdefault("lhotse", lhotse)
+    sys.modules.setdefault("lhotse.utils", lhotse_utils)
+
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     import valle.models.valle as ref_valle  # noqa: E402
 
     return ref_valle
+
+
+def load_reference_optim():
+    """Returns the reference ``valle.modules.optim`` module (torch)."""
+    load_reference_valle()
+    import valle.modules.optim as ref_optim  # noqa: E402
+
+    return ref_optim
