@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Headline benchmark: batched AR decode throughput on the flagship model.
+
+Measures EnCodec-frame generation rate of the KV-cache AR decoder
+(batch 32, 12L/1024d/16h, bf16) on one chip — the reference's dominant
+inference cost, which it executes as an O(T^2) full recompute per token at
+batch size 1 (reference valle/models/valle.py:1004-1057).
+
+Prints ONE JSON line:
+  {"metric": "ar_decode_frames_per_sec_per_chip", "value": N,
+   "unit": "frames/s", "vs_baseline": R}
+
+vs_baseline is measured against the BASELINE.md north-star target of
+"batch-32 >= 20x real-time per chip" = 20 * 75 frames/s = 1500 frames/s
+(EnCodec runs at 75 frames/s). vs_baseline >= 1.0 means target met.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from valle_tpu.models import ValleConfig, init_valle
+    from valle_tpu.models.inference import valle_ar_decode
+
+    B, S, P, GEN = 32, 64, 225, 150  # 3 s prompt, 2 s generation
+    cfg = ValleConfig(d_model=1024, nhead=16, num_layers=12, prefix_mode=1,
+                      num_quantizers=8, max_len=4096)
+    params, _ = init_valle(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    text = jax.random.randint(ks[0], (B, S), 0, 100, dtype=jnp.int32)
+    text_lens = jnp.full((B,), S, jnp.int32)
+    prompt_q0 = jax.random.randint(ks[1], (B, P), 0, 1024, dtype=jnp.int32)
+    prompt_lens = jnp.full((B,), P, jnp.int32)
+
+    def run(rng):
+        return valle_ar_decode(
+            params, cfg, text, text_lens, prompt_q0, prompt_lens, rng,
+            top_k=10, temperature=1.0, max_gen_len=GEN,
+            compute_dtype=jnp.bfloat16, force_full_length=True)
+
+    # warmup / compile
+    codes, lens = run(ks[2])
+    jax.block_until_ready(codes)
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        codes, lens = run(jax.random.fold_in(ks[2], i))
+    jax.block_until_ready(codes)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    frames = B * GEN
+    fps = frames / dt
+    target = 20.0 * 75.0  # 20x real-time per chip at 75 Hz
+    print(json.dumps({
+        "metric": "ar_decode_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / target, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,7 +61,8 @@ def _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "top_k", "max_gen_len", "compute_dtype"),
+    static_argnames=("cfg", "top_k", "max_gen_len", "compute_dtype",
+                     "force_full_length"),
 )
 def valle_ar_decode(
     params,
@@ -76,10 +77,13 @@ def valle_ar_decode(
     temperature: float = 1.0,
     max_gen_len: int = 1024,
     compute_dtype=jnp.float32,
+    force_full_length: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched KV-cache AR decode of quantizer-0 codes.
 
     Returns (gen_codes (B, max_gen_len) int32, gen_lens (B,) int32).
+    ``force_full_length`` disables the stop conditions (benchmarking knob:
+    every lane decodes exactly ``max_gen_len`` tokens).
     """
     assert cfg.model_name == "valle", "AR fast decode targets VALLE"
     B, S = text.shape
@@ -127,6 +131,8 @@ def valle_ar_decode(
         argmaxes = jnp.argmax(logits, axis=-1)
         over = g > x_lens * 16
         stop = (argmaxes == eos) | (samples == eos) | over
+        if force_full_length:
+            stop = jnp.zeros_like(stop)
         newly_done = stop & ~done
         gen_lens = jnp.where(newly_done, g, gen_lens)
         done = done | stop

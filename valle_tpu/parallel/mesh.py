@@ -1,0 +1,108 @@
+"""Device mesh + sharding rules (data parallel / tensor parallel).
+
+Capability parity with the reference's distribution layer
+(``valle/bin/trainer.py:849-915,1152``: mp.spawn + NCCL DDP, SURVEY.md §2.4)
+— re-designed the TPU way: one process, a ``jax.sharding.Mesh`` over all
+devices, params/batch annotated with ``NamedSharding``; XLA inserts the
+gradient psums over ICI (and DCN across slices via
+``jax.distributed.initialize``).
+
+Beyond parity, a 'model' mesh axis provides tensor parallelism over
+attention/FFN projections (the reference has none — SURVEY §2.4 TP: none).
+Pipeline/expert parallelism do not apply to this model family.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ('data', 'model') mesh. dp defaults to n_devices // tp."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        assert n % tp == 0, (n, tp)
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    arr = np.empty((dp, tp), dtype=object)
+    for i, d in enumerate(devices):
+        arr[i // tp, i % tp] = d
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def _leaf_spec(path, leaf) -> P:
+    """Tensor-parallel partition spec for one parameter leaf.
+
+    Attention in-projections and FFN first layers are column-parallel
+    (shard the output dim over 'model'); out-projections and FFN second
+    layers are row-parallel (shard the input dim). Everything else is
+    replicated. Leaves under 'layers' carry a leading stacking axis.
+    """
+    keys = [getattr(e, "key", None) for e in path]
+    name = keys[-1] if keys else None
+    stacked = "layers" in keys
+    nd = leaf.ndim
+
+    def spec(*tail):
+        lead = (None,) * (nd - len(tail))
+        return P(*(lead + tail))
+
+    in_attn = "self_attn" in keys or "cross_attn" in keys
+    if in_attn and name == "in_w":
+        return spec("model")          # (d, 3d) cols
+    if in_attn and name == "in_b":
+        return spec("model")
+    if in_attn and name == "out_w":
+        return spec("model", None)    # (d, d) rows
+    if "lin1" in keys and name == "w":
+        return spec("model")
+    if "lin1" in keys and name == "b":
+        return spec("model")
+    if "lin2" in keys and name == "w":
+        return spec("model", None)
+    return P()  # replicated
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for the parameter tree (TP rules above)."""
+    def f(path, leaf):
+        spec = _leaf_spec(path, leaf)
+        # guard: dims must divide the mesh axis size
+        tp = mesh.shape["model"]
+        ok = all(
+            (s is None) or (leaf.shape[i] % tp == 0)
+            for i, s in enumerate(spec + (None,) * (leaf.ndim - len(spec))))
+        return NamedSharding(mesh, spec if ok else P())
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def batch_shardings(batch, mesh: Mesh):
+    """Shard the leading (batch) dim of every array over 'data'."""
+    def f(leaf):
+        return NamedSharding(mesh, P("data", *([None] * (leaf.ndim - 1))))
+
+    return jax.tree_util.tree_map(f, batch)
+
+
+def replicated(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()), tree)
+
+
+def setup_distributed() -> None:
+    """Multi-host init (DCN): call once per process before device use.
+
+    The reference's ``setup_dist``/``cleanup_dist`` equivalent
+    (``bin/trainer.py:867,1073``); no-op on single-host.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
