@@ -1,0 +1,209 @@
+"""Data-layer tests: text frontends (reference golden outputs where the
+backend is available), collation, manifests + HDF5 storage, bucketing
+sampler invariants, dataset batches, prompted features, fbank."""
+
+import numpy as np
+import pytest
+
+from valle_tpu.data import (
+    AudioTokenConfig,
+    Cut,
+    CutSet,
+    DynamicBucketingSampler,
+    FeatureRef,
+    Hdf5FeatureStore,
+    PromptedFeatures,
+    PromptedPrecomputedFeatures,
+    SpeechSynthesisDataset,
+    TextTokenCollater,
+    TextTokenizer,
+    get_fbank_extractor,
+    tokenize_text,
+)
+from valle_tpu.data.sampler import SimpleCutSampler
+
+
+# ---------------------------------------------------------------------------
+# Text frontends
+# ---------------------------------------------------------------------------
+
+
+def _has_backend(name):
+    try:
+        TextTokenizer(backend=name)
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_backend("espeak"),
+                    reason="phonemizer/espeak-ng not installed")
+def test_espeak_golden():
+    """Reference golden outputs (valle/tests/data/tokenizer_test.py:23-38)."""
+    tokenizer = TextTokenizer(backend="espeak")
+    txt = "The two parties, the sheep and the wolves, met each other."
+    sym = ['ð', 'ə', '_', 't', 'uː', '_', 'p', 'ɑːɹ', 'ɾ', 'i', 'z', ',',
+           '_', 'ð', 'ə', '_', 'ʃ', 'iː', 'p', '_', 'æ', 'n', 'd', 'ð', 'ə',
+           '_', 'w', 'ʊ', 'l', 'v', 'z', ',', '_', 'm', 'ɛ', 't', '_', 'iː',
+           'tʃ', '_', 'ʌ', 'ð', 'ɚ', '.']
+    assert tokenize_text(tokenizer, txt) == sym
+
+
+@pytest.mark.skipif(not _has_backend("pypinyin"),
+                    reason="pypinyin not installed")
+def test_pypinyin_golden():
+    tokenizer = TextTokenizer(backend="pypinyin")
+    assert tokenize_text(tokenizer, "你好这是测试") == [
+        "ni3", "-", "hao3", "-", "zhe4", "-", "shi4", "-", "ce4", "-",
+        "shi4"]
+
+
+def test_char_backend_golden():
+    tokenizer = TextTokenizer(backend="char")
+    assert tokenize_text(tokenizer, "Hi there!") == [
+        "h", "i", "_", "t", "h", "e", "r", "e", "!"]
+    # multiple spaces collapse; case folds
+    assert tokenize_text(tokenizer, "A  b") == ["a", "_", "b"]
+
+
+def test_to_list_separator_semantics():
+    """to_list drops phone separators and keeps word separators
+    (reference tokenizer.py:152-164)."""
+    tokenizer = TextTokenizer(backend="char")
+    out = tokenizer.to_list("a|b_c|d")
+    assert out == ["a", "b", "_", "c", "d"]
+
+
+# ---------------------------------------------------------------------------
+# Collation
+# ---------------------------------------------------------------------------
+
+
+def test_text_token_collater():
+    c = TextTokenCollater(["a", "b", "c"], add_bos=True, add_eos=True)
+    assert c.idx2token[:3] == ["<pad>", "<bos>", "<eos>"]
+    tokens, lens = c.index([["a", "c"], ["b"]])
+    assert tokens.shape == (2, 4)
+    # <bos> a c <eos> ; <bos> b <eos> <pad>
+    np.testing.assert_array_equal(lens, [4, 3])
+    assert tokens[1, 3] == 0  # pad id
+    tokens2, _ = c.index([["a"]], pad_to=8)
+    assert tokens2.shape == (1, 8)
+
+
+def test_collater_rejects_unknown():
+    c = TextTokenCollater(["a"])
+    with pytest.raises(AssertionError):
+        c.index([["z"]])
+
+
+# ---------------------------------------------------------------------------
+# Manifests + storage + dataset
+# ---------------------------------------------------------------------------
+
+
+def _make_cutset(tmp_path, n=10, q=8):
+    rng = np.random.RandomState(0)
+    store_path = tmp_path / "feats.h5"
+    cuts = []
+    with Hdf5FeatureStore(store_path).writer() as w:
+        for i in range(n):
+            frames = rng.randint(50, 200)
+            codes = rng.randint(0, 1024, size=(frames, q)).astype(np.int16)
+            w.write(f"utt{i}", codes)
+            cuts.append(Cut(
+                id=f"spk{i % 2}_book_{i:03d}_000",
+                duration=frames * 320 / 24000,
+                text=f"utterance {i}",
+                tokens=list("hello")[: 3 + i % 3],
+                speaker=f"spk{i % 2}",
+                features=FeatureRef(str(store_path), f"utt{i}", frames, q,
+                                    320 / 24000)))
+    return CutSet(cuts)
+
+
+def test_cutset_roundtrip(tmp_path):
+    cs = _make_cutset(tmp_path)
+    p = tmp_path / "cuts.jsonl.gz"
+    cs.to_file(p)
+    cs2 = CutSet.from_file(p)
+    assert len(cs2) == len(cs)
+    assert cs2[0].id == cs[0].id
+    np.testing.assert_array_equal(cs2[0].load_features(),
+                                  cs[0].load_features())
+    assert "Cuts count: 10" in cs.describe()
+
+
+def test_bucketing_sampler_budget_and_static_shapes(tmp_path):
+    cs = _make_cutset(tmp_path, n=40)
+    sampler = DynamicBucketingSampler(
+        cs, max_duration=6.0, num_buckets=3, shuffle=True, seed=1)
+    seen = set()
+    shapes = set()
+    for batch in sampler:
+        assert len(batch.cuts) >= 1
+        cost = sum(c.duration + c.duration ** 2 / 10 for c in batch.cuts)
+        assert cost <= 6.0 + max(c.duration + c.duration ** 2 / 10
+                                 for c in batch.cuts)
+        for c in batch.cuts:
+            seen.add(c.id)
+        shapes.add((batch.pad_audio_to, batch.pad_text_to))
+        assert batch.pad_audio_to % 32 == 0
+        assert batch.pad_audio_to >= max(
+            c.features.num_frames for c in batch.cuts)
+    assert len(seen) == 40  # every cut appears
+    assert len(shapes) <= 6  # bounded compiled-shape set
+
+
+def test_sampler_dp_sharding(tmp_path):
+    cs = _make_cutset(tmp_path, n=40)
+    ids0, ids1 = set(), set()
+    for rank, acc in ((0, ids0), (1, ids1)):
+        s = DynamicBucketingSampler(cs, max_duration=6.0, num_buckets=2,
+                                    shuffle=True, seed=3, world_size=2,
+                                    rank=rank)
+        for b in s:
+            acc.update(c.id for c in b.cuts)
+    assert ids0.isdisjoint(ids1)
+    assert len(ids0 | ids1) == 40
+
+
+def test_dataset_batches(tmp_path):
+    cs = _make_cutset(tmp_path)
+    collater = TextTokenCollater(sorted({t for c in cs for t in c.tokens}))
+    ds = SpeechSynthesisDataset(collater)
+    sampler = SimpleCutSampler(cs, max_duration=10.0)
+    batch = next(iter(
+        __import__("valle_tpu.data", fromlist=["DataLoader"]).DataLoader(
+            ds, sampler, num_workers=1)))
+    B = len(batch["utt_id"])
+    assert batch["audio_features"].shape[0] == B
+    assert batch["audio_features"].shape[2] == 8
+    assert batch["text_tokens"].shape[0] == B
+    assert batch["audio_features_lens"].max() <= batch[
+        "audio_features"].shape[1]
+
+
+def test_prompted_features(tmp_path):
+    cs = _make_cutset(tmp_path, n=8)
+    strat = PromptedPrecomputedFeatures("libritts", cs)
+    cuts = list(cs)[:4]
+    feats, lens = strat(cuts)
+    assert isinstance(feats, PromptedFeatures)
+    prompts, features = feats.data
+    p_lens, f_lens = lens.data
+    assert prompts.shape[0] == features.shape[0] == 4
+    assert int(p_lens.min()) == int(p_lens.max())  # equal prompt lens
+    assert prompts.shape[1] <= int(3.0 / (320 / 24000))  # <= 3 s
+
+
+def test_fbank_shapes():
+    fb = get_fbank_extractor()
+    sr = 24000
+    y = np.random.RandomState(0).randn(sr // 2).astype(np.float32) * 0.1
+    feats = fb.extract(y, sr)
+    assert feats.shape[1] == 100
+    # lhotse frame count for 0.5 s at hop 256
+    assert abs(feats.shape[0] - round(0.5 * sr / 256)) <= 1
+    assert np.isfinite(feats).all()
+    assert feats.min() >= np.log(1e-5) - 1e-6

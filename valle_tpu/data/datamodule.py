@@ -1,0 +1,183 @@
+"""TtsDataModule: CLI flags + train/valid/test dataloaders.
+
+Parity with reference ``valle/data/datamodule.py`` (:62-440): the same flag
+set (manifest dir, max-duration budget, bucketing, on-the-fly features,
+input strategy, text-tokens path, ...), lazy ``cuts_{train,dev,test}``
+manifests, per-epoch sampler reshuffle, worker prefetch.
+
+The torch DataLoader worker processes are replaced by a thread-pool
+prefetcher (our __getitem__ is numpy + h5py, which release the GIL).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import queue
+import threading
+from functools import lru_cache
+from pathlib import Path
+from typing import Iterator, Optional
+
+from ..utils.common import str2bool
+from .collation import get_text_token_collater
+from .dataset import SpeechSynthesisDataset
+from .input_strategies import PrecomputedFeatures, PromptedPrecomputedFeatures
+from .manifests import CutSet
+from .sampler import DynamicBucketingSampler, SimpleCutSampler
+
+
+class DataLoader:
+    """Sampler + dataset -> iterator of model batches with prefetching."""
+
+    def __init__(self, dataset: SpeechSynthesisDataset, sampler,
+                 num_workers: int = 2, prefetch: int = 4):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.num_workers = max(num_workers, 0)
+        self.prefetch = prefetch
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.num_workers == 0:
+            for b in self.sampler:
+                yield self.dataset.__getitem__(
+                    b.cuts, pad_audio_to=b.pad_audio_to,
+                    pad_text_to=b.pad_text_to)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for b in self.sampler:
+                    q.put(self.dataset.__getitem__(
+                        b.cuts, pad_audio_to=b.pad_audio_to,
+                        pad_text_to=b.pad_text_to))
+            except BaseException as e:  # surface worker errors
+                q.put(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
+class TtsDataModule:
+    """Train/valid/test dataloader factory driven by argparse flags."""
+
+    def __init__(self, args: argparse.Namespace):
+        self.args = args
+
+    @classmethod
+    def add_arguments(cls, parser: argparse.ArgumentParser) -> None:
+        group = parser.add_argument_group(
+            title="TTS data related options",
+            description="Options for data, features and dataloaders.")
+        group.add_argument("--manifest-dir", type=Path,
+                           default=Path("data/tokenized"))
+        group.add_argument("--max-duration", type=int, default=40.0,
+                           help="Maximum pooled recordings duration (s) in "
+                                "a single batch.")
+        group.add_argument("--buffer-size", type=int, default=40000)
+        group.add_argument("--shuffle-buffer-size", type=int, default=100000)
+        group.add_argument("--bucketing-sampler", type=str2bool, default=True)
+        group.add_argument("--num-buckets", type=int, default=10)
+        group.add_argument("--concatenate-cuts", type=str2bool, default=False)
+        group.add_argument("--duration-factor", type=float, default=1.0)
+        group.add_argument("--gap", type=float, default=0.1)
+        group.add_argument("--on-the-fly-feats", type=str2bool, default=False)
+        group.add_argument("--shuffle", type=str2bool, default=True)
+        group.add_argument("--drop-last", type=str2bool, default=False)
+        group.add_argument("--return-cuts", type=str2bool, default=True)
+        group.add_argument("--num-workers", type=int, default=2)
+        group.add_argument("--enable-spec-aug", type=str2bool, default=False)
+        group.add_argument("--input-strategy", type=str,
+                           default="PrecomputedFeatures",
+                           help="PrecomputedFeatures or "
+                                "PromptedPrecomputedFeatures.")
+        group.add_argument("--dataset", type=str, default="libritts",
+                           help="For PromptedPrecomputedFeatures: "
+                                "libritts or ljspeech.")
+        group.add_argument("--text-tokens", type=str,
+                           default="data/tokenized/unique_text_tokens."
+                                   "k2symbols")
+        group.add_argument("--sampling-rate", type=int, default=24000)
+        group.add_argument("--world-size-data", type=int, default=1,
+                           help="Data-parallel shard count for the sampler.")
+        group.add_argument("--rank-data", type=int, default=0)
+
+    # -- strategies -----------------------------------------------------------
+    def _input_strategy(self, cuts: CutSet):
+        if self.args.input_strategy == "PromptedPrecomputedFeatures":
+            return PromptedPrecomputedFeatures(self.args.dataset, cuts)
+        return PrecomputedFeatures()
+
+    # -- loaders --------------------------------------------------------------
+    def train_dataloaders(self, cuts_train: CutSet,
+                          sampler_state_dict: Optional[dict] = None):
+        logging.info("About to create train dataset")
+        dataset = SpeechSynthesisDataset(
+            get_text_token_collater(self.args.text_tokens),
+            feature_input_strategy=self._input_strategy(cuts_train))
+        if self.args.bucketing_sampler:
+            sampler = DynamicBucketingSampler(
+                cuts_train, max_duration=self.args.max_duration,
+                num_buckets=self.args.num_buckets,
+                shuffle=self.args.shuffle, drop_last=self.args.drop_last,
+                quadratic_duration=10.0,
+                world_size=self.args.world_size_data,
+                rank=self.args.rank_data)
+        else:
+            sampler = SimpleCutSampler(
+                cuts_train, max_duration=self.args.max_duration,
+                shuffle=self.args.shuffle,
+                world_size=self.args.world_size_data,
+                rank=self.args.rank_data)
+        if sampler_state_dict is not None:
+            sampler.load_state_dict(sampler_state_dict)
+        return DataLoader(dataset, sampler,
+                          num_workers=self.args.num_workers)
+
+    def valid_dataloaders(self, cuts_valid: CutSet):
+        dataset = SpeechSynthesisDataset(
+            get_text_token_collater(self.args.text_tokens),
+            feature_input_strategy=self._input_strategy(cuts_valid))
+        sampler = DynamicBucketingSampler(
+            cuts_valid, max_duration=self.args.max_duration,
+            num_buckets=max(2, self.args.num_buckets // 2), shuffle=False)
+        return DataLoader(dataset, sampler,
+                          num_workers=self.args.num_workers)
+
+    def test_dataloaders(self, cuts_test: CutSet):
+        dataset = SpeechSynthesisDataset(
+            get_text_token_collater(self.args.text_tokens),
+            feature_input_strategy=PrecomputedFeatures())
+        sampler = SimpleCutSampler(
+            cuts_test, max_duration=self.args.max_duration)
+        return DataLoader(dataset, sampler, num_workers=0)
+
+    # -- manifests (reference datamodule.py:425-440) ---------------------------
+    @lru_cache
+    def train_cuts(self) -> CutSet:
+        logging.info("About to get train cuts")
+        return CutSet.from_file(
+            self.args.manifest_dir / "cuts_train.jsonl.gz")
+
+    @lru_cache
+    def dev_cuts(self) -> CutSet:
+        logging.info("About to get dev cuts")
+        return CutSet.from_file(self.args.manifest_dir / "cuts_dev.jsonl.gz")
+
+    @lru_cache
+    def test_cuts(self) -> CutSet:
+        logging.info("About to get test cuts")
+        return CutSet.from_file(
+            self.args.manifest_dir / "cuts_test.jsonl.gz")

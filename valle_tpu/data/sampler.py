@@ -1,0 +1,160 @@
+"""Batch samplers: duration-budget bucketing with TPU-static shapes.
+
+Parity with the reference's lhotse samplers (``DynamicBucketingSampler``
+with ``quadratic_duration=10`` and ``SimpleCutSampler``, reference
+``valle/data/datamodule.py:324-343``): batches are packed under a
+``max_duration`` seconds budget with a quadratic length penalty, from
+duration-sorted buckets, reshuffled each epoch.
+
+TPU-first difference (SURVEY §2.4): every batch is padded to its bucket's
+quantized (text_len, audio_len) shape — the set of compiled shapes is
+bounded by num_buckets instead of being arbitrary per batch.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .manifests import Cut, CutSet
+
+
+def _quadratic_cost(duration: float, quadratic_duration: float) -> float:
+    """lhotse's quadratic_duration penalty: d + d^2/q."""
+    if quadratic_duration is None:
+        return duration
+    return duration + duration ** 2 / quadratic_duration
+
+
+@dataclass
+class Batch:
+    cuts: List[Cut]
+    pad_audio_to: int   # frames
+    pad_text_to: int    # tokens
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class DynamicBucketingSampler:
+    def __init__(
+        self,
+        cuts: CutSet,
+        *,
+        max_duration: float,
+        num_buckets: int = 6,
+        shuffle: bool = True,
+        drop_last: bool = False,
+        quadratic_duration: Optional[float] = 10.0,
+        frame_shift: float = 320.0 / 24000,
+        tokens_per_second: float = 20.0,   # text-pad heuristic
+        audio_multiple: int = 32,
+        text_multiple: int = 16,
+        seed: int = 0,
+        world_size: int = 1,
+        rank: int = 0,
+    ) -> None:
+        self.cuts = list(cuts)
+        self.max_duration = max_duration
+        self.num_buckets = num_buckets
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.quadratic_duration = quadratic_duration
+        self.frame_shift = frame_shift
+        self.audio_multiple = audio_multiple
+        self.text_multiple = text_multiple
+        self.seed = seed
+        self.epoch = 0
+        self.world_size = world_size
+        self.rank = rank
+
+        durs = sorted(c.duration for c in self.cuts)
+        qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
+        self.boundaries = [durs[int(q * (len(durs) - 1))] for q in qs]
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _bucket_of(self, duration: float) -> int:
+        for i, b in enumerate(self.boundaries):
+            if duration <= b:
+                return i
+        return len(self.boundaries)
+
+    def state_dict(self) -> dict:
+        return {"epoch": self.epoch, "seed": self.seed}
+
+    def load_state_dict(self, sd: dict) -> None:
+        self.epoch = sd.get("epoch", 0)
+
+    def __iter__(self) -> Iterator[Batch]:
+        rng = random.Random(self.seed + self.epoch)
+        order = list(self.cuts)
+        if self.shuffle:
+            rng.shuffle(order)
+
+        buckets: List[List[Cut]] = [[] for _ in range(self.num_buckets)]
+        for c in order:
+            buckets[self._bucket_of(c.duration)].append(c)
+
+        batches: List[Batch] = []
+        for bi, bucket in enumerate(buckets):
+            cur: List[Cut] = []
+            cost = 0.0
+            for c in bucket:
+                cc = _quadratic_cost(c.duration, self.quadratic_duration)
+                if cur and cost + cc > self.max_duration:
+                    batches.append(self._finalize(bi, cur))
+                    cur, cost = [], 0.0
+                cur.append(c)
+                cost += cc
+            if cur and not self.drop_last:
+                batches.append(self._finalize(bi, cur))
+        if self.shuffle:
+            rng.shuffle(batches)
+        # data-parallel sharding across processes (lhotse-style modulo)
+        for i, b in enumerate(batches):
+            if i % self.world_size == self.rank:
+                yield b
+
+    def _finalize(self, bucket_idx: int, cuts: List[Cut]) -> Batch:
+        max_dur = max(c.duration for c in cuts)
+        # quantize to the bucket's upper boundary => bounded shape set
+        ub = (self.boundaries[bucket_idx]
+              if bucket_idx < len(self.boundaries) else max_dur)
+        pad_dur = max(max_dur, ub)
+        frames = _round_up(int(round(pad_dur / self.frame_shift)) + 1,
+                           self.audio_multiple)
+        toks = max((len(c.tokens) if c.tokens else 0) + 2 for c in cuts)
+        toks = _round_up(toks, self.text_multiple)
+        return Batch(cuts=cuts, pad_audio_to=frames, pad_text_to=toks)
+
+
+class SimpleCutSampler:
+    """Duration-sorted packing (reference datamodule.py:336-343)."""
+
+    def __init__(self, cuts: CutSet, *, max_duration: float,
+                 shuffle: bool = False, frame_shift: float = 320.0 / 24000,
+                 audio_multiple: int = 32, text_multiple: int = 16,
+                 world_size: int = 1, rank: int = 0, seed: int = 0):
+        self.inner = DynamicBucketingSampler(
+            cuts, max_duration=max_duration, num_buckets=1, shuffle=shuffle,
+            quadratic_duration=None, frame_shift=frame_shift,
+            audio_multiple=audio_multiple, text_multiple=text_multiple,
+            world_size=world_size, rank=rank, seed=seed)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.inner.set_epoch(epoch)
+
+    def state_dict(self):
+        return self.inner.state_dict()
+
+    def load_state_dict(self, sd):
+        self.inner.load_state_dict(sd)
+
+    def __iter__(self):
+        return iter(self.inner)
