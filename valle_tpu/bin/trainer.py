@@ -1,0 +1,477 @@
+#!/usr/bin/env python3
+"""VALL-E trainer CLI (TPU-native).
+
+Capability parity with reference ``valle/bin/trainer.py``: the same flag
+surface (epochs, start-epoch/start-batch resume, exp-dir, optimizer/
+scheduler/base-lr/warmup, seed, inf-check, save-every-n + keep-last-k,
+valid-interval, average-period model averaging, accumulate-grad-steps,
+dtype, duration filters, train-stage 0/1/2, oom-check) plus the model and
+data flags; checkpoint contents include the model hyperparameters so
+``infer.py`` can rebuild the model from the checkpoint alone.
+
+TPU-native design:
+- one process drives all local devices; data parallelism via a
+  ``jax.sharding.Mesh`` (gradient psum by XLA) instead of mp.spawn+DDP
+  (reference :849-915,1152); multi-host via ``jax.distributed``;
+- the train step is jitted per bucket shape (the bucketing sampler emits a
+  bounded static-shape set); ``--oom-check`` pre-compiles and runs the
+  largest shapes up front (reference's pessimistic-batch scan, :1096);
+- bf16 needs no GradScaler on TPU; ``--inf-check`` validates loss/grad
+  finiteness every step;
+- crash forensics: the offending batch is dumped to ``batch-<uuid>.npz``
+  (reference dumps batch-<uuid>.pt, :699-701).
+
+Example (LibriTTS AR stage, mirrors reference README.md:96-102):
+  python3 -m valle_tpu.bin.trainer --max-duration 80 --dtype bfloat16 \
+      --save-every-n 10000 --valid-interval 20000 \
+      --model-name valle --share-embedding true --norm-first true \
+      --add-prenet false --decoder-dim 1024 --nhead 16 \
+      --num-decoder-layers 12 --prefix-mode 1 --base-lr 0.05 \
+      --warmup-steps 200 --average-period 0 --train-stage 1 \
+      --num-epochs 20 --start-epoch 1 --accumulate-grad-steps 4 \
+      --exp-dir exp/valle
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import logging
+import random
+import uuid
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..models import add_model_arguments, get_model
+from ..utils import AttributeDict, MetricsTracker, get_env_info, setup_logger, str2bool
+from ..utils import checkpoint as ckpt_lib
+
+
+def get_parser():
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--world-size", type=int, default=1,
+                        help="Total data-parallel processes (multi-host).")
+    parser.add_argument("--tensorboard", type=str2bool, default=True)
+    parser.add_argument("--num-epochs", type=int, default=20)
+    parser.add_argument("--start-epoch", type=int, default=1,
+                        help="Resume from exp-dir/epoch-{start_epoch-1}.")
+    parser.add_argument("--start-batch", type=int, default=0,
+                        help="If positive, resume from "
+                             "exp-dir/checkpoint-{start_batch}.")
+    parser.add_argument("--exp-dir", type=str, default="exp/valle_dev")
+    parser.add_argument("--optimizer-name", type=str, default="ScaledAdam")
+    parser.add_argument("--scheduler-name", type=str, default="Eden")
+    parser.add_argument("--base-lr", type=float, default=0.05)
+    parser.add_argument("--warmup-steps", type=int, default=200)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--inf-check", type=str2bool, default=False)
+    parser.add_argument("--save-every-n", type=int, default=10000)
+    parser.add_argument("--valid-interval", type=int, default=10000)
+    parser.add_argument("--keep-last-k", type=int, default=20)
+    parser.add_argument("--average-period", type=int, default=0)
+    parser.add_argument("--accumulate-grad-steps", type=int, default=1)
+    parser.add_argument("--dtype", type=str, default="float32",
+                        help="float32 | bfloat16 (fp16 has no TPU benefit; "
+                             "maps to bfloat16).")
+    parser.add_argument("--filter-min-duration", type=float, default=0.0)
+    parser.add_argument("--filter-max-duration", type=float, default=20.0)
+    parser.add_argument("--train-stage", type=int, default=0,
+                        help="0: all, 1: AR decoder, 2: NAR decoders.")
+    parser.add_argument("--visualize", type=str2bool, default=False)
+    parser.add_argument("--oom-check", type=str2bool, default=True)
+    parser.add_argument("--log-interval", type=int, default=100)
+    parser.add_argument("--max-steps-per-epoch", type=int, default=0,
+                        help="Debug: cap steps per epoch (0 = unlimited).")
+    add_model_arguments(parser)
+    from ..data.datamodule import TtsDataModule
+
+    TtsDataModule.add_arguments(parser)
+    return parser
+
+
+def get_params() -> AttributeDict:
+    return AttributeDict({
+        "best_train_loss": float("inf"),
+        "best_valid_loss": float("inf"),
+        "best_train_epoch": -1,
+        "best_valid_epoch": -1,
+        "batch_idx_train": 0,
+        "log_interval": 100,
+        "reset_interval": 200,
+        "valid_interval": 10000,
+        "env_info": get_env_info(),
+    })
+
+
+def filter_short_and_long_utterances(cuts, min_duration, max_duration):
+    def keep(c):
+        return min_duration < c.duration < max_duration
+
+    return cuts.filter(keep)
+
+
+def _model_batch(batch, accum: int):
+    """Host batch dict -> model inputs, reshaped for grad accumulation."""
+    from ..data.input_strategies import PromptedFeatures
+
+    feats = batch["audio_features"]
+    lens = batch["audio_features_lens"]
+    out = {
+        "text": np.asarray(batch["text_tokens"], np.int32),
+        "text_lens": np.asarray(batch["text_tokens_lens"], np.int32),
+    }
+    if isinstance(feats, PromptedFeatures):
+        prompts, features = feats.data
+        p_lens, f_lens = lens.data
+        out["audio"] = np.asarray(features, np.int32)
+        out["audio_lens"] = np.asarray(f_lens, np.int32)
+        out["prompt_codes"] = np.asarray(prompts, np.int32)
+        out["prompt_lens"] = np.asarray(p_lens, np.int32)
+    else:
+        out["audio"] = np.asarray(feats, np.int32)
+        out["audio_lens"] = np.asarray(lens, np.int32)
+
+    if accum > 1:
+        B = out["text"].shape[0]
+        usable = (B // accum) * accum
+        if usable == 0:  # duplicate to fill microbatches
+            reps = -(-accum // B)
+            out = {k: np.concatenate([v] * reps)[:accum]
+                   for k, v in out.items()}
+            usable = accum
+        out = {k: v[:usable].reshape(accum, usable // accum, *v.shape[1:])
+               for k, v in out.items()}
+    return out
+
+
+def load_checkpoint_if_available(params, exp_dir: Path, model, opt):
+    """Resume logic incl. stage-switch (reference trainer.py:331-483).
+
+    Returns (train_state_items or None, meta). When the saved train stage
+    differs from the requested one, optimizer state is dropped and the
+    per-stage best losses are reset (reference :383-416).
+    """
+    path = None
+    if params.start_batch > 0:
+        path = exp_dir / f"checkpoint-{params.start_batch}"
+    elif params.start_epoch > 1:
+        path = exp_dir / f"epoch-{params.start_epoch - 1}"
+    if path is None or not path.exists():
+        return None, {}
+    logging.info(f"Loading checkpoint from {path}")
+    items, meta = ckpt_lib.load_checkpoint(str(path))
+    run_params = (meta or {}).get("run_params") or {}
+    saved_stage = run_params.get("train_stage", 0)
+    if saved_stage != params.train_stage:
+        logging.info(
+            f"Switching training stage {saved_stage} -> "
+            f"{params.train_stage}: dropping optimizer state")
+        items.pop("opt_state", None)
+    else:
+        for k in ("best_train_loss", "best_valid_loss", "batch_idx_train"):
+            if k in run_params:
+                params[k] = run_params[k]
+    return items, meta
+
+
+def compute_validation_loss(params, model, model_params, model_state,
+                            valid_dl, compute_dtype, world_size=1):
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from ..models.valle import valle_forward
+
+    tot = MetricsTracker()
+    fwd = jax.jit(partial(
+        valle_forward, cfg=model.cfg, train_stage=params.train_stage,
+        deterministic=True, compute_dtype=compute_dtype))
+    for batch in valid_dl:
+        mb = _model_batch(batch, accum=1)
+        loss, metrics, _ = fwd(model_params, batch=mb,
+                               nar_stage=jnp.int32(1), state=model_state)
+        frames = float(metrics["frames"])
+        tot["loss"] += float(loss)
+        tot["frames"] += frames
+        tot["utterances"] += len(mb["text"])
+        for k in ("ArTop10Accuracy", "NarTop10Accuracy"):
+            if k in metrics:
+                tot[k] += float(metrics[k]) * frames
+    tot.reduce()
+    loss_value = tot["loss"] / max(tot["frames"], 1)
+    if loss_value < params.best_valid_loss:
+        params.best_valid_epoch = params.cur_epoch
+        params.best_valid_loss = loss_value
+    return tot
+
+
+def save_checkpoint(exp_dir: Path, name: str, params, state, model,
+                    sampler_state=None, model_avg=None):
+    run_params = {
+        "train_stage": params.train_stage,
+        "batch_idx_train": params.batch_idx_train,
+        "best_train_loss": params.best_train_loss,
+        "best_valid_loss": params.best_valid_loss,
+        "model_config": model.config_dict(),
+        "model_name": params.model_name,
+        "text_tokens": str(params.text_tokens),
+        "env_info": params.env_info,
+    }
+    items = {"params": state.params, "state": state.model_state,
+             "opt_state": state.opt_state}
+    if model_avg is not None:
+        items["model_avg"] = model_avg
+    import jax
+
+    if jax.process_index() == 0:
+        ckpt_lib.save_checkpoint(
+            str(exp_dir), name, params=items.pop("params"),
+            state=items.pop("state"), opt_state=items.pop("opt_state"),
+            sampler_state=sampler_state, run_params=run_params)
+
+
+def run(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.datamodule import TtsDataModule
+    from ..parallel.mesh import batch_shardings, make_mesh, setup_distributed
+    from ..training import (
+        TrainState,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    setup_distributed()
+    params = get_params()
+    params.update(vars(args))
+    params.valid_interval = args.valid_interval
+    params.log_interval = args.log_interval
+
+    exp_dir = Path(args.exp_dir)
+    exp_dir.mkdir(parents=True, exist_ok=True)
+    setup_logger(f"{exp_dir}/log/log-train", rank=jax.process_index(),
+                 world_size=jax.process_count())
+    logging.info("Training started")
+    logging.info(params)
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+    rng = jax.random.PRNGKey(args.seed)
+
+    tb_writer = None
+    if args.tensorboard and jax.process_index() == 0:
+        from tensorboardX import SummaryWriter
+
+        tb_writer = SummaryWriter(
+            log_dir=f"{exp_dir}/tensorboard_stage{args.train_stage}")
+
+    compute_dtype = (jnp.bfloat16 if args.dtype.lower() in
+                     ("bfloat16", "bf16", "float16", "fp16")
+                     else jnp.float32)
+
+    model = get_model(params)
+    cfg = model.cfg
+    logging.info(f"Model config: {cfg}")
+
+    init_params, init_state = model.init(jax.random.PRNGKey(args.seed))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(init_params))
+    logging.info(f"Number of model parameters: {n_params}")
+
+    opt, lr_fn = make_optimizer(
+        init_params, base_lr=args.base_lr,
+        clipping_scale=2.0 if args.optimizer_name == "ScaledAdam" else None,
+        train_stage=args.train_stage, warmup_steps=args.warmup_steps)
+    opt_state = opt.init(init_params)
+    state = TrainState(params=init_params, opt_state=opt_state,
+                       model_state=init_state,
+                       step=jnp.zeros((), jnp.int32))
+
+    # resume
+    items, meta = load_checkpoint_if_available(params, exp_dir, model, opt)
+    sampler_state = None
+    model_avg = None
+    if items is not None:
+        state = TrainState(
+            params=items["params"],
+            opt_state=items.get("opt_state", opt_state),
+            model_state=items.get("state", init_state),
+            step=jnp.asarray(params.batch_idx_train, jnp.int32))
+        model_avg = items.get("model_avg")
+        sampler_state = (meta or {}).get("sampler_state")
+    if args.average_period > 0 and model_avg is None:
+        model_avg = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float64), state.params)
+
+    # mesh + sharding (pure DP by default; TP via --tp below if added)
+    mesh = make_mesh(tp=1)
+    from valle_tpu.training import shard_train_state
+
+    state = shard_train_state(state, mesh)
+
+    step_fn = jax.jit(make_train_step(
+        cfg, opt, lr_fn, train_stage=args.train_stage,
+        accum_steps=args.accumulate_grad_steps,
+        compute_dtype=compute_dtype))
+
+    # data
+    dm = TtsDataModule(args)
+    train_cuts = filter_short_and_long_utterances(
+        dm.train_cuts(), args.filter_min_duration, args.filter_max_duration)
+    valid_cuts = dm.dev_cuts()
+    train_dl = dm.train_dataloaders(train_cuts,
+                                    sampler_state_dict=sampler_state)
+    valid_dl = dm.valid_dataloaders(valid_cuts)
+
+    if args.oom_check:
+        scan_largest_batches_for_compile(args, cfg, step_fn, state,
+                                         train_dl, rng)
+
+    for epoch in range(args.start_epoch, args.num_epochs + 1):
+        params.cur_epoch = epoch
+        train_dl.sampler.set_epoch(epoch - 1)
+        state, model_avg = train_one_epoch(
+            args, params, model, state, step_fn, train_dl, valid_dl,
+            compute_dtype, tb_writer, rng, epoch, exp_dir, model_avg)
+        save_checkpoint(exp_dir, f"epoch-{epoch}", params, state, model,
+                        sampler_state=train_dl.sampler.state_dict(),
+                        model_avg=model_avg)
+    logging.info("Done!")
+
+
+def scan_largest_batches_for_compile(args, cfg, step_fn, state, train_dl,
+                                     rng):
+    """TPU analog of the reference OOM pre-scan (trainer.py:1096-1140):
+    compile + run the train step on each distinct bucket shape up front."""
+    import jax
+    import jax.numpy as jnp
+
+    shapes = {}
+    for b in train_dl.sampler:
+        key = (b.pad_audio_to, b.pad_text_to)
+        if key not in shapes:
+            shapes[key] = b
+    logging.info(f"compile-scan over {len(shapes)} bucket shapes")
+    for key, b in sorted(shapes.items(), reverse=True):
+        batch = train_dl.dataset.__getitem__(
+            b.cuts, pad_audio_to=b.pad_audio_to, pad_text_to=b.pad_text_to)
+        mb = _model_batch(batch, args.accumulate_grad_steps)
+        try:
+            new_state, metrics = step_fn(state, mb, jnp.int32(0), rng)
+            jax.block_until_ready(metrics["loss"])
+            logging.info(f"  shape {key}: ok (loss {float(metrics['loss']):.1f})")
+        except Exception:
+            logging.exception(f"compile-scan failed on shape {key} "
+                              f"(batch of {len(b.cuts)} cuts)")
+            raise
+
+
+def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
+                    compute_dtype, tb_writer, rng, epoch, exp_dir,
+                    model_avg):
+    import jax
+    import jax.numpy as jnp
+
+    tot_loss = MetricsTracker()
+    iter_dl = iter(train_dl)
+
+    for batch_idx, batch in enumerate(iter_dl):
+        params.batch_idx_train += 1
+        mb = _model_batch(batch, args.accumulate_grad_steps)
+        try:
+            state, metrics = step_fn(state, mb, jnp.int32(epoch), rng)
+        except Exception:
+            fname = exp_dir / f"batch-{uuid.uuid4()}.npz"
+            np.savez(fname, **{k: v for k, v in mb.items()})
+            logging.exception(f"train step failed; batch saved to {fname}")
+            raise
+
+        loss = float(metrics["loss"])
+        frames = float(metrics["frames"])
+        if args.inf_check and not np.isfinite(loss):
+            fname = exp_dir / f"batch-{uuid.uuid4()}.npz"
+            np.savez(fname, **{k: v for k, v in mb.items()})
+            raise FloatingPointError(
+                f"non-finite loss {loss} at batch {params.batch_idx_train}; "
+                f"batch saved to {fname}")
+
+        cur = MetricsTracker()
+        cur["loss"] = loss
+        cur["frames"] = frames
+        tot_loss = (tot_loss * (1 - 1.0 / params.reset_interval)) + cur
+
+        if args.average_period > 0 and (
+                params.batch_idx_train % args.average_period == 0):
+            # model_avg += (model - model_avg) * period / batch_idx
+            # (icefall update_averaged_model semantics, trainer.py:703-714)
+            w = args.average_period / max(params.batch_idx_train,
+                                          args.average_period)
+            model_avg = jax.tree_util.tree_map(
+                lambda avg, p: avg + (p.astype(jnp.float64) - avg) * w,
+                model_avg, state.params)
+
+        if params.batch_idx_train % args.save_every_n == 0:
+            save_checkpoint(exp_dir,
+                            f"checkpoint-{params.batch_idx_train}",
+                            params, state, model,
+                            sampler_state=train_dl.sampler.state_dict(),
+                            model_avg=model_avg)
+            ckpt_lib.remove_checkpoints(str(exp_dir), args.keep_last_k)
+
+        if batch_idx % params.log_interval == 0:
+            lr = float(metrics.get("lr", 0.0))
+            logging.info(
+                f"Epoch {epoch}, batch {batch_idx}, train_stage "
+                f"{args.train_stage}, "
+                f"loss[{loss / max(frames, 1):.4f}], "
+                f"tot_loss[{tot_loss['loss'] / max(tot_loss['frames'], 1):.4f}]"
+                f", lr: {lr:.2e}")
+            if tb_writer is not None:
+                tb_writer.add_scalar("train/learning_rate", lr,
+                                     params.batch_idx_train)
+                tb_writer.add_scalar("train/current_loss",
+                                     loss / max(frames, 1),
+                                     params.batch_idx_train)
+                tb_writer.add_scalar(
+                    "train/tot_loss",
+                    tot_loss["loss"] / max(tot_loss["frames"], 1),
+                    params.batch_idx_train)
+
+        if params.batch_idx_train % params.valid_interval == 0:
+            logging.info("Computing validation loss")
+            valid_info = compute_validation_loss(
+                params, model, state.params, state.model_state, valid_dl,
+                compute_dtype)
+            logging.info(f"Epoch {epoch}, validation: {valid_info}")
+            if tb_writer is not None:
+                valid_info.write_summary(tb_writer, "train/valid_",
+                                         params.batch_idx_train)
+            if params.best_valid_epoch == epoch:
+                save_checkpoint(exp_dir, "best-valid-loss", params, state,
+                                model, model_avg=model_avg)
+
+        if args.max_steps_per_epoch and (
+                batch_idx + 1 >= args.max_steps_per_epoch):
+            break
+
+    epoch_loss = tot_loss["loss"] / max(tot_loss["frames"], 1)
+    if epoch_loss < params.best_train_loss:
+        params.best_train_epoch = epoch
+        params.best_train_loss = epoch_loss
+        save_checkpoint(exp_dir, "best-train-loss", params, state, model,
+                        model_avg=model_avg)
+    return state, model_avg
+
+
+def main():
+    parser = get_parser()
+    args = parser.parse_args()
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

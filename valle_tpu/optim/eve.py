@@ -14,6 +14,12 @@ import jax.numpy as jnp
 import optax
 
 
+class _UpdOut(NamedTuple):
+    u: Any
+    m: Any
+    v: Any
+
+
 class EveState(NamedTuple):
     step: jnp.ndarray
     exp_avg: Any
@@ -57,13 +63,13 @@ def eve(
                                                * jnp.sqrt(float(p.size)))
                 decay = -pf * (weight_decay * above)
                 delta = delta + decay
-            return delta.astype(p.dtype), m, v
+            return _UpdOut(delta.astype(p.dtype), m, v)
 
         out = jax.tree_util.tree_map(upd, params, updates, state.exp_avg,
                                      state.exp_avg_sq)
         treedef = jax.tree_util.tree_structure(params)
         leaves = jax.tree_util.tree_leaves(
-            out, is_leaf=lambda x: isinstance(x, tuple))
+            out, is_leaf=lambda x: isinstance(x, _UpdOut))
         pick = lambda i: jax.tree_util.tree_unflatten(
             treedef, [l[i] for l in leaves])
         return pick(0), EveState(step=step, exp_avg=pick(1),

@@ -42,6 +42,17 @@ def default_stacked_fn(path) -> bool:
     return False
 
 
+class _UpdOut(NamedTuple):
+    """Per-leaf update results (distinct type so optax.MaskedNode sentinels
+    in the tree are not mistaken for results)."""
+    u: Any
+    delta: Any
+    eas: Any
+    rms: Any
+    seas: Any
+    sgrads: Any
+
+
 class ScaledAdamState(NamedTuple):
     step: jnp.ndarray                  # scalar int32
     delta: Any                         # pytree like params (momentum buffer)
@@ -185,8 +196,8 @@ def scaled_adam(
                 denom = jnp.sqrt(eas / bc2_main) + eps
                 delta = delta + g / denom * (-size_lr * (1 - b1))
                 upd_val = (jnp.clip(pf, -scalar_max, scalar_max) - pf) + delta
-                return (upd_val.astype(p.dtype), delta, eas, rms, seas,
-                        sgrads)
+                return _UpdOut(upd_val.astype(p.dtype), delta, eas, rms,
+                               seas, sgrads)
 
             axes = _axes(p, st)
             # record this step's scale gradient in the ring buffer
@@ -215,14 +226,15 @@ def scaled_adam(
             denom = jnp.sqrt(eas_eff) + eps
             alpha = -lr * (1 - b1) * jnp.maximum(rms, param_min_rms)
             delta = delta + (g / denom) * alpha
-            return (delta.astype(p.dtype), delta, eas, rms, seas, sgrads)
+            return _UpdOut(delta.astype(p.dtype), delta, eas, rms, seas,
+                           sgrads)
 
         out = tmwp(upd, params, grads, state.delta, state.exp_avg_sq,
                    state.param_rms, state.scale_exp_avg_sq,
                    state.scale_grads)
         treedef = jax.tree_util.tree_structure(params)
         leaves = jax.tree_util.tree_leaves(
-            out, is_leaf=lambda x: isinstance(x, tuple))
+            out, is_leaf=lambda x: isinstance(x, _UpdOut))
 
         def pick(i):
             return jax.tree_util.tree_unflatten(
