@@ -7,3 +7,8 @@ from .common import (  # noqa: F401
 )
 from .metrics import MetricsTracker  # noqa: F401
 from .symbol_table import SymbolTable  # noqa: F401
+
+
+def Transpose(x):
+    """(N, T, D) -> (N, D, T) (reference valle/utils/__init__.py:11)."""
+    return x.swapaxes(1, 2)
