@@ -132,7 +132,17 @@ def _merge_heads(x):
 
 
 def _attend(q, k, v, bias, *, dropout_rate=0.0, rng=None, deterministic=True):
-    """q,k,v: (B, H, T, Dh); bias broadcastable to (B, H, Tq, Tk)."""
+    """q,k,v: (B, H, T, Dh); bias broadcastable to (B, H, Tq, Tk).
+
+    Deterministic calls (inference/NAR passes, prefill, validation) route
+    through the Pallas flash kernel on TPU; attention-dropout training steps
+    use the einsum path (the reference applies dropout on the probabilities,
+    activation.py:12, which the fused kernel does not model).
+    """
+    if deterministic or dropout_rate == 0.0 or rng is None:
+        from ..ops.attention import fused_attention
+
+        return fused_attention(q, k, v, bias)
     dh = q.shape[-1]
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
