@@ -81,6 +81,9 @@ def get_parser():
     parser.add_argument("--train-stage", type=int, default=0,
                         help="0: all, 1: AR decoder, 2: NAR decoders.")
     parser.add_argument("--visualize", type=str2bool, default=False)
+    parser.add_argument("--profile", type=str2bool, default=False,
+                        help="Capture a jax.profiler trace of training "
+                             "steps 10-20 into exp-dir/profile.")
     parser.add_argument("--oom-check", type=str2bool, default=True)
     parser.add_argument("--log-interval", type=int, default=100)
     parser.add_argument("--max-steps-per-epoch", type=int, default=0,
@@ -370,6 +373,24 @@ def scan_largest_batches_for_compile(args, cfg, step_fn, state, train_dl,
             raise
 
 
+def visualize_one_batch(args, model, state, valid_dl, exp_dir, epoch,
+                        compute_dtype):
+    """Render eval heatmaps (reference trainer.py:575-583 + visualizer)."""
+    import jax.numpy as jnp
+
+    from ..models.visualizer import visualize
+
+    out_dir = exp_dir / f"eval_epoch{epoch}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    batch = next(iter(valid_dl))
+    mb = _model_batch(batch, accum=1)
+    # encoder output proxy: text embeddings; decoder proxy: input codes
+    text_emb = np.asarray(jnp.take(
+        state.params["ar"]["text_emb"]["weight"], mb["text"], axis=0))
+    visualize((text_emb, mb["audio"][..., 0:1]), batch, str(out_dir))
+    logging.info(f"visualizations written to {out_dir}")
+
+
 def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
                     compute_dtype, tb_writer, rng, epoch, exp_dir,
                     model_avg):
@@ -379,8 +400,17 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
     tot_loss = MetricsTracker()
     iter_dl = iter(train_dl)
 
+    profiling = False
     for batch_idx, batch in enumerate(iter_dl):
         params.batch_idx_train += 1
+        if args.profile and epoch == args.start_epoch:
+            if batch_idx == 10 and not profiling:
+                jax.profiler.start_trace(str(exp_dir / "profile"))
+                profiling = True
+            elif batch_idx == 20 and profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                logging.info(f"profiler trace written to {exp_dir}/profile")
         mb = _model_batch(batch, args.accumulate_grad_steps)
         try:
             state, metrics = step_fn(state, mb, jnp.int32(epoch), rng)
@@ -447,6 +477,9 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
                 params, model, state.params, state.model_state, valid_dl,
                 compute_dtype)
             logging.info(f"Epoch {epoch}, validation: {valid_info}")
+            if args.visualize:
+                visualize_one_batch(args, model, state, valid_dl,
+                                    exp_dir, epoch, compute_dtype)
             if tb_writer is not None:
                 valid_info.write_summary(tb_writer, "train/valid_",
                                          params.batch_idx_train)
