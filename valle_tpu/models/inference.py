@@ -62,7 +62,7 @@ def _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype):
 @partial(
     jax.jit,
     static_argnames=("cfg", "top_k", "max_gen_len", "compute_dtype",
-                     "force_full_length"),
+                     "force_full_length", "aligned_prompts"),
 )
 def valle_ar_decode(
     params,
@@ -78,12 +78,16 @@ def valle_ar_decode(
     max_gen_len: int = 1024,
     compute_dtype=jnp.float32,
     force_full_length: bool = False,
+    aligned_prompts: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched KV-cache AR decode of quantizer-0 codes.
 
     Returns (gen_codes (B, max_gen_len) int32, gen_lens (B,) int32).
     ``force_full_length`` disables the stop conditions (benchmarking knob:
     every lane decodes exactly ``max_gen_len`` tokens).
+    ``aligned_prompts`` asserts all samples share one prompt length: cache
+    writes become slice updates instead of per-sample scatters (serving
+    fast path).
     """
     assert cfg.model_name == "valle", "AR fast decode targets VALLE"
     B, S = text.shape
@@ -142,15 +146,23 @@ def valle_ar_decode(
             jnp.where(done, 0, tok))
 
         # embed the accepted token at audio position p_lens + g
-        audio_pos = p_lens + g                      # (B,)
         e = jnp.take(audio_emb_w, tok, axis=0).astype(dtype)
-        pe = jnp.take(pe_d, audio_pos, axis=0).astype(dtype)
+        if aligned_prompts:
+            pe = jax.lax.dynamic_slice_in_dim(
+                pe_d, p_lens[0] + g, 1, axis=0).astype(dtype)[0]
+            pe = jnp.broadcast_to(pe, e.shape)
+            write_pos = S + p_lens[0] + g           # scalar
+        else:
+            audio_pos = p_lens + g                  # (B,)
+            pe = jnp.take(pe_d, audio_pos, axis=0).astype(dtype)
+            write_pos = S + p_lens + g              # (B,)
         xstep = (e + pe)[:, None, :]                # (B, 1, D)
 
-        write_pos = S + p_lens + g                  # (B,)
         kk = jnp.arange(cache_len)[None, :]
+        wp = write_pos if not aligned_prompts else jnp.broadcast_to(
+            write_pos, (B,))
         key_valid = (kk < x_lens[:, None]) | (
-            (kk >= S) & (kk <= write_pos[:, None]))
+            (kk >= S) & (kk <= wp[:, None]))
         step_bias = jnp.where(key_valid, 0.0, M.NEG_INF).astype(
             jnp.float32)[:, None, None, :]
 

@@ -219,9 +219,16 @@ def mha_decode_step(p, x, cache_k, cache_v, pos, bias, nhead, dtype=None):
     q = _split_heads(q, nhead)           # (B, H, 1, Dh)
     k = _split_heads(k, nhead)           # (B, H, 1, Dh)
     v = _split_heads(v, nhead)
-    bidx = jnp.arange(B)
-    cache_k = cache_k.at[bidx, :, pos, :].set(k[:, :, 0, :])
-    cache_v = cache_v.at[bidx, :, pos, :].set(v[:, :, 0, :])
+    if jnp.ndim(pos) == 0:
+        # aligned fast path: one slice update instead of a gather/scatter
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k, pos,
+                                                      axis=2)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v, pos,
+                                                      axis=2)
+    else:
+        bidx = jnp.arange(B)
+        cache_k = cache_k.at[bidx, :, pos, :].set(k[:, :, 0, :])
+        cache_v = cache_v.at[bidx, :, pos, :].set(v[:, :, 0, :])
     out = _attend(q, cache_k, cache_v, bias)
     out = _merge_heads(out)
     out_w = p["out_w"] if dtype is None else p["out_w"].astype(dtype)

@@ -1,0 +1,156 @@
+"""Batched zero-shot TTS serving.
+
+The reference has NO serving layer — inference is a batch-size-1 CLI
+(SURVEY §1 notes; reference valle/models/valle.py:989 asserts B == 1).
+This module goes beyond parity: a `Synthesizer` that batches concurrent
+requests onto static shape buckets and runs the KV-cache decode once per
+batch, amortizing the model across requests.
+
+Shapes are bucketed (text to multiples of 16, prompts to the 3 s cap,
+generation length to a fixed grid) so a serving process compiles a small,
+bounded set of programs and then serves any traffic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class SynthesisRequest:
+    text: str
+    prompt_text: str = ""
+    prompt_wav: Optional[str] = None           # path
+    prompt_codes: Optional[np.ndarray] = None  # (P, Q) precomputed
+
+
+@dataclasses.dataclass
+class SynthesisResult:
+    wav: np.ndarray          # (T,) float32 @ 24 kHz
+    codes: np.ndarray        # (F, Q)
+    frames: int
+
+
+class Synthesizer:
+    """End-to-end batched synthesis: text+prompt -> wav.
+
+    Usage:
+        synth = Synthesizer.from_checkpoint("exp/valle/best-valid-loss",
+                                            text_tokens="...k2symbols")
+        results = synth.synthesize([SynthesisRequest(...), ...])
+    """
+
+    def __init__(self, model, params, text_tokenizer, text_collater,
+                 audio_tokenizer, *, top_k: int = -100,
+                 temperature: float = 1.0, max_gen_len: int = 1024,
+                 compute_dtype=None, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        self.model = model
+        self.params = params
+        self.text_tokenizer = text_tokenizer
+        self.text_collater = text_collater
+        self.audio_tokenizer = audio_tokenizer
+        self.top_k = top_k
+        self.temperature = temperature
+        self.max_gen_len = max_gen_len
+        self.compute_dtype = compute_dtype or jnp.bfloat16
+        self._rng = jax.random.PRNGKey(seed)
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint: str, text_tokens: str,
+                        text_backend: str = "espeak",
+                        encodec_weights: Optional[str] = None, **kw):
+        from .bin.infer import load_model
+        from .data import AudioTokenizer, TextTokenizer
+        from .data.collation import get_text_token_collater
+
+        model, params, _, ckpt_tokens = load_model(checkpoint)
+        return cls(
+            model, params,
+            TextTokenizer(backend=text_backend),
+            get_text_token_collater(text_tokens or ckpt_tokens),
+            AudioTokenizer(weights_path=encodec_weights), **kw)
+
+    # -- preprocessing ------------------------------------------------------
+    def _prepare(self, reqs: Sequence[SynthesisRequest]):
+        from .data.tokenizer import tokenize_audio, tokenize_text
+
+        token_seqs, enroll_lens, prompt_codes = [], [], []
+        for r in reqs:
+            full = f"{r.prompt_text} {r.text}".strip()
+            toks = tokenize_text(self.text_tokenizer, full)
+            token_seqs.append(toks)
+            if r.prompt_text:
+                enroll = tokenize_text(self.text_tokenizer, r.prompt_text)
+                enroll_lens.append(len(enroll) + 2)
+            else:
+                enroll_lens.append(0)
+            if r.prompt_codes is not None:
+                prompt_codes.append(np.asarray(r.prompt_codes, np.int32))
+            elif r.prompt_wav:
+                prompt_codes.append(
+                    tokenize_audio(self.audio_tokenizer, r.prompt_wav)[0])
+            else:
+                prompt_codes.append(
+                    np.zeros((0, self.model.cfg.num_quantizers), np.int32))
+
+        max_tok = max(len(t) for t in token_seqs) + 2
+        pad_text = _round_up(max_tok, 16)
+        text_ids, text_lens = self.text_collater.index(token_seqs,
+                                                       pad_to=pad_text)
+        P = _round_up(max(max(c.shape[0] for c in prompt_codes), 1), 32)
+        Q = self.model.cfg.num_quantizers
+        prompts = np.zeros((len(reqs), P, Q), np.int32)
+        p_lens = np.zeros((len(reqs),), np.int32)
+        for i, c in enumerate(prompt_codes):
+            prompts[i, : c.shape[0]] = c
+            p_lens[i] = c.shape[0]
+        return (text_ids, text_lens, prompts, p_lens,
+                np.asarray(enroll_lens, np.int32))
+
+    # -- main entry ----------------------------------------------------------
+    def synthesize(self, reqs: Sequence[SynthesisRequest],
+                   max_gen_len: Optional[int] = None
+                   ) -> List[SynthesisResult]:
+        import jax
+        import jax.numpy as jnp
+
+        from .models import valle_inference
+
+        if not reqs:
+            return []
+        text_ids, text_lens, prompts, p_lens, enroll_lens = self._prepare(
+            reqs)
+        gen_budget = max_gen_len or min(
+            self.max_gen_len, _round_up(int(text_lens.max()) * 16 + 2, 64))
+
+        self._rng, step_rng = jax.random.split(self._rng)
+        codes, gen_lens = valle_inference(
+            self.params, self.model.cfg,
+            jnp.asarray(text_ids), jnp.asarray(text_lens),
+            jnp.asarray(prompts), jnp.asarray(p_lens),
+            enroll_x_lens=jnp.asarray(enroll_lens),
+            top_k=self.top_k, temperature=self.temperature,
+            rng=step_rng, max_gen_len=gen_budget,
+            compute_dtype=self.compute_dtype)
+        codes = np.asarray(codes)
+        gen_lens = np.asarray(gen_lens)
+
+        # decode the whole batch on-device, then trim per request
+        wavs = self.audio_tokenizer.decode(codes)
+        out = []
+        for i in range(len(reqs)):
+            n = int(gen_lens[i])
+            out.append(SynthesisResult(
+                wav=wavs[i, : n * 320], codes=codes[i, :n], frames=n))
+        return out
