@@ -174,3 +174,36 @@ def test_manifest_statistics_cli(tokenized_dir, capsys):
         "--partitions", "train"])
     out = capsys.readouterr().out
     assert "Cuts count: 8" in out
+
+
+def test_mel_transformer_pipeline(dataset_dir):
+    """Fbank tokenization + Transformer mel model training via the CLIs."""
+    from valle_tpu.bin.tokenizer import main as tok_main
+    from valle_tpu.bin.trainer import main as trainer_main
+
+    out = dataset_dir / "tokenized_fbank"
+    _run_main(tok_main, [
+        "tokenizer", "--src-dir", str(dataset_dir / "manifests"),
+        "--output-dir", str(out), "--text-extractor", "char",
+        "--audio-extractor", "Fbank", "--batch-duration", "2.0"])
+    cuts = CutSet.from_file(out / "cuts_train.jsonl.gz")
+    feats = cuts[0].load_features()
+    assert feats.shape[1] == 100  # mel bins
+    assert feats.dtype.kind == "f"
+
+    exp = dataset_dir / "exp_mel"
+    _run_main(trainer_main, [
+        "trainer",
+        "--manifest-dir", str(out),
+        "--text-tokens", str(out / "unique_text_tokens.k2symbols"),
+        "--exp-dir", str(exp),
+        "--model-name", "Transformer",
+        "--decoder-dim", "32", "--nhead", "2", "--num-decoder-layers", "2",
+        "--num-epochs", "1", "--max-duration", "6", "--num-buckets", "2",
+        "--filter-min-duration", "0.1", "--filter-max-duration", "5.0",
+        "--base-lr", "0.05", "--warmup-steps", "10",
+        "--save-every-n", "100", "--valid-interval", "100",
+        "--log-interval", "2", "--num-workers", "0",
+        "--max-steps-per-epoch", "3",
+        "--tensorboard", "false", "--oom-check", "false"])
+    assert (exp / "epoch-1").exists()

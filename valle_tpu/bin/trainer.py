@@ -134,7 +134,11 @@ def _model_batch(batch, accum: int):
         out["prompt_codes"] = np.asarray(prompts, np.int32)
         out["prompt_lens"] = np.asarray(p_lens, np.int32)
     else:
-        out["audio"] = np.asarray(feats, np.int32)
+        feats = np.asarray(feats)
+        if np.issubdtype(feats.dtype, np.floating):
+            out["audio"] = feats.astype(np.float32)  # mel features
+        else:
+            out["audio"] = feats.astype(np.int32)    # codec tokens
         out["audio_lens"] = np.asarray(lens, np.int32)
 
     if accum > 1:
@@ -186,16 +190,24 @@ def compute_validation_loss(params, model, model_params, model_state,
     import jax.numpy as jnp
     from functools import partial
 
+    from ..models import ValleModel
     from ..models.valle import valle_forward
 
     tot = MetricsTracker()
-    fwd = jax.jit(partial(
-        valle_forward, cfg=model.cfg, train_stage=params.train_stage,
-        deterministic=True, compute_dtype=compute_dtype))
+    if isinstance(model, ValleModel):
+        fwd = jax.jit(partial(
+            valle_forward, cfg=model.cfg, train_stage=params.train_stage,
+            deterministic=True, compute_dtype=compute_dtype,
+            nar_stage=jnp.int32(1)))
+    else:
+        from ..models.transformer import transformer_tts_forward
+
+        fwd = jax.jit(partial(
+            transformer_tts_forward, cfg=model.cfg,
+            deterministic=True, compute_dtype=compute_dtype))
     for batch in valid_dl:
         mb = _model_batch(batch, accum=1)
-        loss, metrics, _ = fwd(model_params, batch=mb,
-                               nar_stage=jnp.int32(1), state=model_state)
+        loss, metrics, _ = fwd(model_params, batch=mb, state=model_state)
         frames = float(metrics["frames"])
         tot["loss"] += float(loss)
         tot["frames"] += frames

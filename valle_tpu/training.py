@@ -39,6 +39,7 @@ def make_optimizer(params, *, base_lr: float = 0.05,
     """ScaledAdam + Eden, masked to the train stage's parameter subtree.
 
     Matches the reference optimizer build (``bin/trainer.py:917-977``).
+    Stage masking applies only to models with ar/nar subtrees.
     Returns (optimizer, lr_fn(batch, epoch)).
     """
     # everything but learning_rate is static (inject_hyperparams would
@@ -49,7 +50,8 @@ def make_optimizer(params, *, base_lr: float = 0.05,
               "clip_main_grad"}
     opt = optax.inject_hyperparams(scaled_adam, static_args=static)(
         learning_rate=base_lr, clipping_scale=clipping_scale)
-    if train_stage in (1, 2):
+    if train_stage in (1, 2) and isinstance(params, dict) and \
+            "ar" in params and "nar" in params:
         mask = stage_params_mask(params, train_stage)
         opt = optax.masked(opt, mask)
     lr_fn = functools.partial(eden_lr, base_lr, lr_batches=lr_batches,
@@ -70,13 +72,14 @@ def _set_lr(opt_state, lr):
 
 
 def make_train_step(
-    cfg: ValleConfig,
+    cfg,
     optimizer: optax.GradientTransformation,
     lr_fn,
     *,
     train_stage: int = 0,
     accum_steps: int = 1,
     compute_dtype=jnp.float32,
+    forward_fn=None,
 ):
     """Build the jittable train step.
 
@@ -87,6 +90,14 @@ def make_train_step(
     reference does (trainer.py:541,671-673).
     """
 
+    if forward_fn is None:
+        if isinstance(cfg, ValleConfig):
+            forward_fn = valle_forward
+        else:
+            from .models.transformer import transformer_tts_forward
+
+            forward_fn = transformer_tts_forward
+
     def _frames_weighted(metrics):
         """acc -> acc*frames so sums normalize correctly at logging time."""
         out = {k: jnp.asarray(v, jnp.float32) for k, v in metrics.items()}
@@ -96,7 +107,7 @@ def make_train_step(
         return out
 
     def loss_fn(params, model_state, micro, rng):
-        loss, metrics, new_state = valle_forward(
+        loss, metrics, new_state = forward_fn(
             params, cfg, micro, train_stage=train_stage, rng=rng,
             deterministic=False, compute_dtype=compute_dtype,
             state=model_state)
@@ -161,10 +172,15 @@ def make_train_step(
     return step_fn
 
 
-def init_train_state(rng, cfg: ValleConfig, optimizer) -> TrainState:
-    from .models.valle import init_valle
+def init_train_state(rng, cfg, optimizer) -> TrainState:
+    if isinstance(cfg, ValleConfig):
+        from .models.valle import init_valle
 
-    params, model_state = init_valle(rng, cfg)
+        params, model_state = init_valle(rng, cfg)
+    else:
+        from .models.transformer import init_transformer_tts
+
+        params, model_state = init_transformer_tts(rng, cfg)
     opt_state = optimizer.init(params)
     return TrainState(params=params, opt_state=opt_state,
                       model_state=model_state,
