@@ -161,8 +161,15 @@ def fused_attention(q, k, v, bias, *, use_pallas: Optional[bool] = None,
     B, H, S, D = q.shape
     T = k.shape[2]
     if use_pallas is None:
-        use_pallas = (jax.default_backend() != "cpu" and D in (64, 128)
-                      and S > 1 and T >= DEFAULT_BLOCK_K)
+        # Measured on v5e (benchmarks/bench_kernels.py): XLA's fused
+        # attention beats this kernel at VALL-E shapes (14.6 vs 17.0 ms at
+        # B8/H16/S1536), so the kernel is opt-in pending further tuning.
+        import os
+
+        use_pallas = (
+            os.environ.get("VALLE_TPU_FLASH_ATTENTION") == "1"
+            and jax.default_backend() != "cpu" and D in (64, 128)
+            and S > 1 and T >= DEFAULT_BLOCK_K)
     if not use_pallas:
         return naive_attention(q, k, v, bias)
     if bias is None:
