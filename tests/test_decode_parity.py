@@ -77,3 +77,28 @@ def test_continual_token_parity():
     assert gl == ref_codes.shape[0]
     ours = np.asarray(codes[0, :gl])
     np.testing.assert_array_equal(ours, ref_codes)
+
+
+@pytest.mark.parametrize("prefix_mode", [0, 1])
+def test_vallf_greedy_decode_token_parity(prefix_mode):
+    """VALL-F: cached cross-attention decode must match the reference."""
+    ref, cfg, params, _ = build_pair(model_name="vallf",
+                                     prefix_mode=prefix_mode)
+    x, x_lens, prompts = _inputs(seed=17)
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref_codes = ref.inference(x, x_lens, prompts,
+                                  enroll_x_lens=x_lens, top_k=1,
+                                  temperature=1.0)
+    ref_codes = ref_codes.numpy()[0]
+
+    codes, gen_lens = valle_inference(
+        params, cfg,
+        jnp.asarray(x.numpy()), jnp.asarray(x_lens.numpy()),
+        jnp.asarray(prompts.numpy()), jnp.asarray([P]),
+        top_k=1, temperature=1.0, rng=jax.random.PRNGKey(0),
+        max_gen_len=16 * S + 8)
+    gl = int(gen_lens[0])
+    assert gl == ref_codes.shape[0], (gl, ref_codes.shape)
+    np.testing.assert_array_equal(np.asarray(codes[0, :gl]), ref_codes)

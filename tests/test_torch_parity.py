@@ -148,10 +148,12 @@ def test_nar_loss_parity_mode0(model_name, share_embedding):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_nar_loss_parity_mode4():
+@pytest.mark.parametrize("model_name", ["valle", "vallf"])
+def test_nar_loss_parity_mode4(model_name):
     """prefix-mode 4: prompts supplied by the data layer."""
     ref_mod = load_reference_valle()
-    ref, cfg, params, state = build_pair(model_name="valle", prefix_mode=4)
+    ref, cfg, params, state = build_pair(model_name=model_name,
+                                         prefix_mode=4)
     x, x_lens, y, y_lens = make_inputs(seed=3)
     g = torch.Generator().manual_seed(4)
     P = 6

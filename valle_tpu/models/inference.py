@@ -240,14 +240,23 @@ def valle_nar_decode(
             y_emb_p = y_emb_p + jnp.take(
                 embs_w[j], pc[..., j], axis=0).astype(dtype)
 
-    # attention bias: padding only (keys: valid text/prompt/gen)
-    kk = jnp.arange(S + P + G)[None, :]
-    key_valid = jnp.where(
-        kk < S, kk < x_lens[:, None],
-        jnp.where(kk < S + P, (kk - S) < p_lens[:, None],
-                  (kk - S - P) < g_lens[:, None]))
-    bias = jnp.where(key_valid, 0.0, M.NEG_INF).astype(jnp.float32)[
-        :, None, None, :]
+    is_vallf = cfg.model_name == "vallf"
+    # attention bias: padding only
+    if is_vallf:
+        kk = jnp.arange(P + G)[None, :]
+        key_valid = jnp.where(kk < P, kk < p_lens[:, None],
+                              (kk - P) < g_lens[:, None])
+        bias = jnp.where(key_valid, 0.0, M.NEG_INF).astype(jnp.float32)[
+            :, None, None, :]
+        cross_bias = M.key_padding_bias(x_lens, S)
+    else:
+        kk = jnp.arange(S + P + G)[None, :]
+        key_valid = jnp.where(
+            kk < S, kk < x_lens[:, None],
+            jnp.where(kk < S + P, (kk - S) < p_lens[:, None],
+                      (kk - S - P) < g_lens[:, None]))
+        bias = jnp.where(key_valid, 0.0, M.NEG_INF).astype(jnp.float32)[
+            :, None, None, :]
 
     # PE positions: prompt 0..P-1 (static ok: invalid slots masked);
     # generated at p_lens + t (per-sample offset)
@@ -262,16 +271,25 @@ def valle_nar_decode(
 
     def one_pass(i, carry):
         y_emb_p_c, y_emb_g_c, codes_out = carry
-        seq = jnp.concatenate(
-            [x, y_emb_p_c + pe_p, y_emb_g_c + pe_g], axis=1)
         cond = jnp.take(stage_w, i, axis=0)[None, :]
-        dec = tfm.encoder_stack_apply(
-            params["nar"]["decoder"], seq, bias, cond,
-            nhead=cfg.nar_nhead, norm_first=cfg.norm_first,
-            activation=cfg.activation, dropout_rate=0.0,
-            deterministic=True, dtype=dtype)
+        if is_vallf:
+            seq = jnp.concatenate([y_emb_p_c + pe_p, y_emb_g_c + pe_g],
+                                  axis=1)
+            dec = tfm.decoder_stack_apply(
+                params["nar"]["decoder"], seq, x, bias, cross_bias, cond,
+                nhead=cfg.nar_nhead, norm_first=cfg.norm_first,
+                activation=cfg.activation, dropout_rate=0.0,
+                deterministic=True, dtype=dtype)
+        else:
+            seq = jnp.concatenate(
+                [x, y_emb_p_c + pe_p, y_emb_g_c + pe_g], axis=1)
+            dec = tfm.encoder_stack_apply(
+                params["nar"]["decoder"], seq, bias, cond,
+                nhead=cfg.nar_nhead, norm_first=cfg.norm_first,
+                activation=cfg.activation, dropout_rate=0.0,
+                deterministic=True, dtype=dtype)
         Wi = jnp.take(W, i, axis=0).astype(dtype)  # (nd, V)
-        logits = dec[:, S + P:] @ Wi               # (B, G, V)
+        logits = dec[:, -G:] @ Wi                  # (B, G, V)
         samples = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         codes_out = codes_out.at[:, :, i + 1].set(samples * gen_valid)
 
@@ -295,6 +313,103 @@ def valle_nar_decode(
     _, _, codes_out = jax.lax.fori_loop(
         0, Q - 1, one_pass, (y_emb_p, y_emb_g, codes_out))
     return codes_out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "top_k", "max_gen_len", "compute_dtype",
+                     "force_full_length"),
+)
+def vallf_ar_decode(
+    params,
+    cfg: ValleConfig,
+    text: jnp.ndarray,
+    text_lens: jnp.ndarray,
+    prompt_q0: jnp.ndarray,
+    prompt_lens: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    top_k: int = -100,
+    temperature: float = 1.0,
+    max_gen_len: int = 1024,
+    compute_dtype=jnp.float32,
+    force_full_length: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """VALL-F KV-cache AR decode: causal self-attention over audio with
+    cross-attention to the encoded text memory (reference VALLF.inference,
+    valle.py:566-655 — which recomputes the full sequence per token)."""
+    B, S = text.shape
+    P = prompt_q0.shape[1]
+    bos = int(cfg.prepend_bos)
+    dtype = compute_dtype
+    eos = cfg.eos_id
+
+    x_lens = text_lens.astype(jnp.int32)
+    p_lens = prompt_lens.astype(jnp.int32) + bos
+    cache_len = bos + P + max_gen_len + 1
+
+    x, y = _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype)
+    cross_bias = M.key_padding_bias(x_lens, S)
+    Ty = bos + P
+    self_bias = (M.causal_bias(Ty) + M.key_padding_bias(p_lens, Ty))
+    hidden, cache = tfm.decoder_stack_prefill(
+        params["ar"]["decoder"], y, x, self_bias, cross_bias,
+        nhead=cfg.nhead, cache_len=cache_len, norm_first=cfg.norm_first,
+        activation=cfg.activation, dtype=dtype)
+
+    W = params["ar"]["predict"]["w"].astype(dtype)
+    bidx = jnp.arange(B)
+    logits0 = (hidden[bidx, p_lens - 1] @ W).astype(jnp.float32)
+
+    pe_d = _pe_table(cfg, cfg.d_model)
+    audio_emb_w = params["ar"]["audio_emb"]["weight"]
+
+    def sample(rng_s, logits):
+        lg = logits / temperature
+        lg = top_k_top_p_filtering(lg, top_k=top_k, top_p=1.0)
+        return jax.random.categorical(rng_s, lg, axis=-1)
+
+    def cond_fn(carry):
+        g, done = carry[0], carry[4]
+        return jnp.logical_and(g < max_gen_len, ~jnp.all(done))
+
+    def body_fn(carry):
+        g, rng_c, cache_c, logits, done, gen_codes, gen_lens = carry
+        rng_c, rng_s = jax.random.split(rng_c)
+        samples = sample(rng_s, logits)
+        argmaxes = jnp.argmax(logits, axis=-1)
+        stop = (argmaxes == eos) | (samples == eos) | (g > x_lens * 16)
+        if force_full_length:
+            stop = jnp.zeros_like(stop)
+        newly_done = stop & ~done
+        gen_lens = jnp.where(newly_done, g, gen_lens)
+        done = done | stop
+        tok = jnp.where(done, eos, samples).astype(jnp.int32)
+        gen_codes = gen_codes.at[bidx, g].set(jnp.where(done, 0, tok))
+
+        audio_pos = p_lens + g
+        e = jnp.take(audio_emb_w, tok, axis=0).astype(dtype)
+        pe = jnp.take(pe_d, audio_pos, axis=0).astype(dtype)
+        xstep = (e + pe)[:, None, :]
+        write_pos = p_lens + g
+        kk = jnp.arange(cache_len)[None, :]
+        step_bias = jnp.where(kk <= write_pos[:, None], 0.0,
+                              M.NEG_INF).astype(jnp.float32)[
+            :, None, None, :]
+        hidden_s, cache_c = tfm.decoder_stack_decode_step(
+            params["ar"]["decoder"], xstep, cache_c, write_pos, step_bias,
+            cross_bias, nhead=cfg.nhead, norm_first=cfg.norm_first,
+            activation=cfg.activation, dtype=dtype)
+        new_logits = (hidden_s[:, 0] @ W).astype(jnp.float32)
+        return (g + 1, rng_c, cache_c, new_logits, done, gen_codes,
+                gen_lens)
+
+    init = (jnp.int32(0), rng, cache, logits0, jnp.zeros((B,), bool),
+            jnp.zeros((B, max_gen_len), jnp.int32),
+            jnp.full((B,), max_gen_len, jnp.int32))
+    _, _, _, _, _, gen_codes, gen_lens = jax.lax.while_loop(
+        cond_fn, body_fn, init)
+    return gen_codes, gen_lens
 
 
 def trim_enrolled_text(text: jnp.ndarray, text_lens, enroll_x_lens):
@@ -335,7 +450,9 @@ def valle_inference(
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    gen_q0, gen_lens = valle_ar_decode(
+    ar_decode = (vallf_ar_decode if cfg.model_name == "vallf"
+                 else valle_ar_decode)
+    gen_q0, gen_lens = ar_decode(
         params, cfg, text, text_lens, prompt_codes[..., 0], prompt_lens,
         rng, top_k=top_k, temperature=temperature, max_gen_len=max_gen_len,
         compute_dtype=compute_dtype)

@@ -489,6 +489,99 @@ def encoder_stack_prefill(
     return h, {"k": ks, "v": vs}
 
 
+def decoder_stack_prefill(
+    p, x, memory, self_bias, cross_bias, *, nhead, cache_len: int,
+    norm_first=True, activation="relu", dtype=None,
+):
+    """Cross-attending decoder prefill: run the prefix AND build caches.
+
+    Returns (hidden, cache) with cache = {"k","v" (L,B,H,Tmax,Dh) self-attn,
+    "mk","mv" (L,B,H,S,Dh) cross-attention memory projections}.
+    """
+    B, T, D = x.shape
+
+    def body(h, lp):
+        in_w = lp["self_attn"]["in_w"] if dtype is None else (
+            lp["self_attn"]["in_w"].astype(dtype))
+        in_b = lp["self_attn"]["in_b"] if dtype is None else (
+            lp["self_attn"]["in_b"].astype(dtype))
+        hin = apply_norm(lp["norm1"], h, None) if norm_first else h
+        qkv = hin @ in_w + in_b
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        qh, kh, vh = (_split_heads(t, nhead) for t in (q, k, v))
+        attn = _merge_heads(_attend(qh, kh, vh, self_bias))
+        out_w = lp["self_attn"]["out_w"] if dtype is None else (
+            lp["self_attn"]["out_w"].astype(dtype))
+        out_b = lp["self_attn"]["out_b"] if dtype is None else (
+            lp["self_attn"]["out_b"].astype(dtype))
+        sa_out = attn @ out_w + out_b
+        if norm_first:
+            h = h + sa_out
+        else:
+            h = apply_norm(lp["norm1"], h + sa_out, None)
+        mk, mv = mha_self_kv(lp["cross_attn"], memory, nhead, dtype=dtype)
+        hin = apply_norm(lp["norm2"], h, None) if norm_first else h
+        ca_out = mha_cross(lp["cross_attn"], hin, mk, mv, cross_bias, nhead,
+                           dtype=dtype)
+        if norm_first:
+            h = h + ca_out
+            h = h + _ffn(lp["ffn"], apply_norm(lp["norm3"], h, None),
+                         activation, dropout_rate=0.0, rng=None,
+                         deterministic=True, dtype=dtype)
+        else:
+            h = apply_norm(lp["norm2"], h + ca_out, None)
+            h = apply_norm(lp["norm3"], h + _ffn(
+                lp["ffn"], h, activation, dropout_rate=0.0, rng=None,
+                deterministic=True, dtype=dtype), None)
+        pad = cache_len - T
+        kc = jnp.pad(kh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vc = jnp.pad(vh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return h, (kc, vc, mk, mv)
+
+    h, (ks, vs, mks, mvs) = jax.lax.scan(body, x, p["layers"])
+    if "final_norm" in p:
+        h = apply_norm(p["final_norm"], h, None)
+    return h, {"k": ks, "v": vs, "mk": mks, "mv": mvs}
+
+
+def decoder_stack_decode_step(
+    p, x, cache, pos, self_bias, cross_bias, *, nhead, norm_first=True,
+    activation="relu", dtype=None,
+):
+    """One cross-attending decode step. x: (B,1,D); pos scalar or (B,)."""
+
+    def body(h, inp):
+        lp, ck, cv, mk, mv = inp
+        hin = apply_norm(lp["norm1"], h, None) if norm_first else h
+        sa_out, ck, cv = mha_decode_step(
+            lp["self_attn"], hin, ck, cv, pos, self_bias, nhead, dtype=dtype)
+        if norm_first:
+            h = h + sa_out
+        else:
+            h = apply_norm(lp["norm1"], h + sa_out, None)
+        hin = apply_norm(lp["norm2"], h, None) if norm_first else h
+        ca_out = mha_cross(lp["cross_attn"], hin, mk, mv, cross_bias, nhead,
+                           dtype=dtype)
+        if norm_first:
+            h = h + ca_out
+            h = h + _ffn(lp["ffn"], apply_norm(lp["norm3"], h, None),
+                         activation, dropout_rate=0.0, rng=None,
+                         deterministic=True, dtype=dtype)
+        else:
+            h = apply_norm(lp["norm2"], h + ca_out, None)
+            h = apply_norm(lp["norm3"], h + _ffn(
+                lp["ffn"], h, activation, dropout_rate=0.0, rng=None,
+                deterministic=True, dtype=dtype), None)
+        return h, (ck, cv)
+
+    h, (ks, vs) = jax.lax.scan(
+        body, x, (p["layers"], cache["k"], cache["v"], cache["mk"],
+                  cache["mv"]))
+    if "final_norm" in p:
+        h = apply_norm(p["final_norm"], h, None)
+    return h, {"k": ks, "v": vs, "mk": cache["mk"], "mv": cache["mv"]}
+
+
 def encoder_stack_decode_step(
     p, x, cache, pos, bias, *, nhead, norm_first=True, activation="relu",
     dtype=None,
