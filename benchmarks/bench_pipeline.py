@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Full zero-shot pipeline benchmark: AR decode + 7 NAR passes + EnCodec
+waveform synthesis, batch 32 on one chip. Reports per-stage times, aggregate
+RTF, and per-utterance p50 latency.
+
+Run AFTER any other TPU process has exited (the tunnel chip is exclusive).
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(f, iters=3):
+    o = f()
+    jax.block_until_ready(o)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        o = f()
+    jax.block_until_ready(o)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from valle_tpu.codec import EncodecConfig, encodec_decode, init_encodec
+    from valle_tpu.models import ValleConfig, init_valle
+    from valle_tpu.models.inference import valle_ar_decode, valle_nar_decode
+
+    B, S, P, GEN = 32, 64, 224, 448  # ~6 s generated per utterance
+    cfg = ValleConfig(d_model=1024, nhead=16, num_layers=12, prefix_mode=1,
+                      num_quantizers=8, max_len=4096)
+    params, _ = init_valle(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    text = jax.random.randint(ks[0], (B, S), 0, 100, dtype=jnp.int32)
+    text_lens = jnp.full((B,), S, jnp.int32)
+    prompts = jax.random.randint(ks[1], (B, P, 8), 0, 1024, dtype=jnp.int32)
+    p_lens = jnp.full((B,), P, jnp.int32)
+
+    def ar():
+        return valle_ar_decode(
+            params, cfg, text, text_lens, prompts[..., 0], p_lens, ks[2],
+            top_k=10, max_gen_len=GEN, compute_dtype=jnp.bfloat16,
+            force_full_length=True)
+
+    gen_q0, gen_lens = ar()
+    t_ar = timeit(ar)
+
+    def nar():
+        return valle_nar_decode(
+            params, cfg, text, text_lens, prompts, p_lens, gen_q0, gen_lens,
+            compute_dtype=jnp.bfloat16)
+
+    codes = nar()
+    t_nar = timeit(nar)
+
+    ccfg = EncodecConfig()
+    cparams = init_encodec(jax.random.PRNGKey(3), ccfg)
+
+    def codec():
+        return encodec_decode(cparams, codes, cfg=ccfg)
+
+    t_codec = timeit(codec)
+
+    total = t_ar + t_nar + t_codec
+    audio_sec = B * GEN / 75.0
+    print(f"batch={B} gen_frames={GEN} ({GEN / 75.0:.1f} s audio each)")
+    print(f"AR decode : {t_ar * 1e3:8.1f} ms "
+          f"({B * GEN / t_ar:8.0f} frames/s)")
+    print(f"NAR passes: {t_nar * 1e3:8.1f} ms")
+    print(f"EnCodec   : {t_codec * 1e3:8.1f} ms")
+    print(f"TOTAL     : {total * 1e3:8.1f} ms  ->  aggregate RTF "
+          f"{audio_sec / total:.1f}x realtime; per-utterance p50 latency "
+          f"{total * 1e3:.0f} ms for {GEN / 75.0:.1f} s of audio")
+
+
+if __name__ == "__main__":
+    main()
