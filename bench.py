@@ -46,15 +46,19 @@ def main():
             top_k=10, temperature=1.0, max_gen_len=GEN,
             compute_dtype=jnp.bfloat16, force_full_length=True)
 
-    # warmup / compile
+    import numpy as np
+
+    # warmup / compile; np.asarray forces full materialization (the tunnel
+    # backend caches identical-input executions, so every timing iteration
+    # must use a fresh rng)
     codes, lens = run(ks[2])
-    jax.block_until_ready(codes)
+    np.asarray(codes)
 
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
-        codes, lens = run(jax.random.fold_in(ks[2], i))
-    jax.block_until_ready(codes)
+        codes, lens = run(jax.random.fold_in(ks[2], i + 1))
+    np.asarray(codes)
     dt = (time.perf_counter() - t0) / n_iters
 
     frames = B * GEN
