@@ -23,6 +23,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from valle_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from valle_tpu.models import ValleConfig, init_valle
     from valle_tpu.models.inference import valle_ar_decode
 

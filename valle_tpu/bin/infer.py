@@ -106,6 +106,9 @@ def load_model(checkpoint: str, device=None):
 def main():
     args = get_parser().parse_args()
     setup_logger()
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

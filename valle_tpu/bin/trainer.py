@@ -262,6 +262,9 @@ def run(args) -> None:
     )
 
     setup_distributed()
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     params = get_params()
     params.update(vars(args))
     params.valid_interval = args.valid_interval

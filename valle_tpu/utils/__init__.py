@@ -1,5 +1,6 @@
 from .common import (  # noqa: F401
     AttributeDict,
+    enable_compilation_cache,
     get_env_info,
     make_pad_mask,
     setup_logger,

@@ -114,3 +114,20 @@ def get_env_info() -> dict:
         "device-count": jax.device_count(),
         "hostname": os.uname().nodename,
     }
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache (survives process restarts).
+
+    First compiles over this environment's remote tunnel take minutes;
+    caching them makes repeat CLI/bench invocations start fast.
+    """
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "VALLE_TPU_COMPILATION_CACHE", "/tmp/valle_tpu_xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the flags
+        pass
