@@ -294,7 +294,7 @@ def valle_nar_decode(
         codes_out = codes_out.at[:, :, i + 1].set(samples * gen_valid)
 
         emb_next = jnp.take(embs_w[i + 1], samples, axis=0).astype(dtype)
-        upd_g = jnp.where((i < Q - 2) & True,
+        upd_g = jnp.where(i < Q - 2,
                           jnp.where(gen_valid[..., None], emb_next, 0.0), 0.0)
         y_emb_g_c = y_emb_g_c + upd_g
         if cfg.prefix_mode == 0:
