@@ -141,6 +141,41 @@ def main():
         audio_prompts = np.zeros((1, 0, model.cfg.num_quantizers), np.int32)
 
     rng = jax.random.PRNGKey(args.seed)
+
+    import os
+
+    if os.path.isfile(args.text):  # TSV batch-demo mode (reference :180-221)
+        from ..data.tokenizer import tokenize_text
+
+        with open(args.text, encoding="utf-8") as f:
+            for k, line in enumerate(f):
+                fields = line.strip().split("\t")
+                assert len(fields) == 4, line
+                prompt_text, prompt_audio, text, audio_path = fields
+                logging.info(f"synthesize text: {text}")
+                full_tokens = tokenize_text(
+                    text_tokenizer, f"{prompt_text} {text}".strip())
+                text_ids, text_lens = text_collater([full_tokens])
+                enroll_tokens = tokenize_text(text_tokenizer,
+                                              prompt_text.strip())
+                enroll_x_lens = np.array([len(enroll_tokens) + 2], np.int32)
+                prompt_codes = tokenize_audio(audio_tokenizer, prompt_audio)
+                codes, out_lens = model.inference(
+                    params, jnp.asarray(text_ids), jnp.asarray(text_lens),
+                    jnp.asarray(prompt_codes),
+                    jnp.asarray([prompt_codes.shape[1]], np.int32),
+                    enroll_x_lens=jnp.asarray(enroll_x_lens),
+                    top_k=args.top_k, temperature=args.temperature,
+                    rng=jax.random.fold_in(rng, k),
+                    max_gen_len=args.max_gen_len)
+                gl = int(out_lens[0])
+                wav = audio_tokenizer.decode(np.asarray(codes[:, :gl]))[0]
+                Path(audio_path).parent.mkdir(parents=True, exist_ok=True)
+                native.write_wav(audio_path, wav,
+                                 audio_tokenizer.sample_rate)
+                logging.info(f"saved {audio_path}")
+        return
+
     for n, text in enumerate(args.text.split("|")):
         logging.info(f"synthesize text: {text}")
         # prompt text and target text are phonemized TOGETHER
