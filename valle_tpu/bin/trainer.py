@@ -336,7 +336,10 @@ def run(args) -> None:
         accum_steps=args.accumulate_grad_steps,
         compute_dtype=compute_dtype))
 
-    # data
+    # data (sampler shards batches across processes automatically)
+    if args.world_size_data == 1 and jax.process_count() > 1:
+        args.world_size_data = jax.process_count()
+        args.rank_data = jax.process_index()
     dm = TtsDataModule(args)
     train_cuts = filter_short_and_long_utterances(
         dm.train_cuts(), args.filter_min_duration, args.filter_max_duration)
