@@ -4,6 +4,9 @@
 # Usage: benchmarks/run_tpu.sh script.py [args...]
 set -u
 cd "$(dirname "$0")/.."
+# NOTE: append, never clobber — /root/.axon_site on PYTHONPATH carries the
+# sitecustomize that registers the TPU backend; dropping it yields
+# "Backend 'axon' is not in the list of known backends".
 export PYTHONPATH="$(pwd):${PYTHONPATH:-}"
 for attempt in $(seq 1 12); do
   out=$(python3 "$@" 2>&1)
