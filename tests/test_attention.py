@@ -66,3 +66,52 @@ def test_cpu_dispatch_falls_back():
     out = fused_attention(q, k, v, bias)  # cpu backend -> naive
     ref = naive_attention(q, k, v, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_decode_kernel_matches_oracle():
+    """Pallas decode kernel (interpret) vs the bias-mask oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from valle_tpu.ops.decode_attention import decode_attention
+
+    B, H, T, D, S = 3, 4, 512, 64, 40
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H, 1, D))
+    k = jax.random.normal(ks[1], (B, H, T, D))
+    v = jax.random.normal(ks[2], (B, H, T, D))
+    x_lens = jnp.array([40, 25, 10])
+    wp = jnp.array([300, 120, 60])
+    out = decode_attention(q, k, v, x_lens, wp, S=S, block_k=128,
+                           interpret=True)
+    kk = jnp.arange(T)[None, :]
+    valid = (kk < x_lens[:, None]) | ((kk >= S) & (kk <= wp[:, None]))
+    bias = jnp.where(valid, 0.0, -jnp.inf)[:, None, None, :]
+    ref = naive_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_ar_decode_kernel_token_equality():
+    """use_decode_kernel must not change a single generated token."""
+    import jax
+    import jax.numpy as jnp
+
+    from valle_tpu.models import ValleConfig, init_valle
+    from valle_tpu.models.inference import valle_ar_decode
+
+    cfg = ValleConfig(d_model=32, nhead=2, num_layers=2, prefix_mode=1,
+                      num_quantizers=8, max_len=512, max_prefix_len=8)
+    params, _ = init_valle(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    B, S, P, G = 2, 9, 6, 20
+    text = jax.random.randint(ks[0], (B, S), 0, 90)
+    text_lens = jnp.array([9, 6])
+    pq0 = jax.random.randint(ks[1], (B, P), 0, 1024)
+    p_lens = jnp.array([6, 4])
+    base, bl = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                               ks[2], top_k=1, max_gen_len=G)
+    kern, kl = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                               ks[2], top_k=1, max_gen_len=G,
+                               use_decode_kernel=True, kernel_interpret=True)
+    np.testing.assert_array_equal(np.asarray(bl), np.asarray(kl))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(kern))

@@ -62,7 +62,8 @@ def _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype):
 @partial(
     jax.jit,
     static_argnames=("cfg", "top_k", "max_gen_len", "compute_dtype",
-                     "force_full_length", "aligned_prompts"),
+                     "force_full_length", "aligned_prompts",
+                     "use_decode_kernel", "kernel_interpret"),
 )
 def valle_ar_decode(
     params,
@@ -79,8 +80,14 @@ def valle_ar_decode(
     compute_dtype=jnp.float32,
     force_full_length: bool = False,
     aligned_prompts: bool = False,
+    use_decode_kernel: bool = False,
+    kernel_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched KV-cache AR decode of quantizer-0 codes.
+
+    ``use_decode_kernel`` routes per-step attention through the Pallas
+    decode kernel (reads only valid cache blocks; see
+    ops/decode_attention.py).
 
     Returns (gen_codes (B, max_gen_len) int32, gen_lens (B,) int32).
     ``force_full_length`` disables the stop conditions (benchmarking knob:
@@ -99,6 +106,10 @@ def valle_ar_decode(
     x_lens = text_lens.astype(jnp.int32)
     p_lens = prompt_lens.astype(jnp.int32) + bos   # audio prefix lens
     cache_len = S + bos + P + max_gen_len + 1
+    if use_decode_kernel:
+        from ..ops.decode_attention import BLOCK_K
+
+        cache_len = ((cache_len + BLOCK_K - 1) // BLOCK_K) * BLOCK_K
 
     x, y = _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype)
     xy = jnp.concatenate([x, y], axis=1)           # (B, S0, D)
@@ -166,10 +177,12 @@ def valle_ar_decode(
         step_bias = jnp.where(key_valid, 0.0, M.NEG_INF).astype(
             jnp.float32)[:, None, None, :]
 
+        kctx = ((x_lens, wp, S, kernel_interpret)
+                if use_decode_kernel else None)
         hidden_s, cache_c = tfm.encoder_stack_decode_step(
             params["ar"]["decoder"], xstep, cache_c, write_pos, step_bias,
             nhead=cfg.nhead, norm_first=cfg.norm_first,
-            activation=cfg.activation, dtype=dtype)
+            activation=cfg.activation, dtype=dtype, kernel_ctx=kctx)
         new_logits = (hidden_s[:, 0] @ W).astype(jnp.float32)
         return (g + 1, rng_c, cache_c, new_logits, done, gen_codes, gen_lens)
 

@@ -202,13 +202,16 @@ def mha_cross(p, xq, mem_k, mem_v, bias, nhead, *, dropout_rate=0.0, rng=None,
     return out @ out_w + out_b
 
 
-def mha_decode_step(p, x, cache_k, cache_v, pos, bias, nhead, dtype=None):
+def mha_decode_step(p, x, cache_k, cache_v, pos, bias, nhead, dtype=None,
+                    kernel_ctx=None):
     """One-token self-attention against a static KV cache.
 
     x: (B, 1, D); cache_k/v: (B, H, Tmax, Dh); pos: (B,) per-sample indices
     where the new k/v are written (samples may sit at different sequence
     offsets, e.g. unequal prompt lengths in batched AR decode). bias:
     (B, 1, 1, Tmax) additive key mask (must mask unwritten positions).
+    ``kernel_ctx=(x_lens, write_pos, S, interpret)`` routes the attention
+    through the Pallas decode kernel (reads only valid cache blocks).
     Returns (out, new_cache_k, new_cache_v).
     """
     B = x.shape[0]
@@ -229,7 +232,14 @@ def mha_decode_step(p, x, cache_k, cache_v, pos, bias, nhead, dtype=None):
         bidx = jnp.arange(B)
         cache_k = cache_k.at[bidx, :, pos, :].set(k[:, :, 0, :])
         cache_v = cache_v.at[bidx, :, pos, :].set(v[:, :, 0, :])
-    out = _attend(q, cache_k, cache_v, bias)
+    if kernel_ctx is not None:
+        from ..ops.decode_attention import decode_attention
+
+        x_lens, write_pos, S, interp = kernel_ctx
+        out = decode_attention(q, cache_k, cache_v, x_lens, write_pos,
+                               S=S, interpret=interp)
+    else:
+        out = _attend(q, cache_k, cache_v, bias)
     out = _merge_heads(out)
     out_w = p["out_w"] if dtype is None else p["out_w"].astype(dtype)
     out_b = p["out_b"] if dtype is None else p["out_b"].astype(dtype)
@@ -584,7 +594,7 @@ def decoder_stack_decode_step(
 
 def encoder_stack_decode_step(
     p, x, cache, pos, bias, *, nhead, norm_first=True, activation="relu",
-    dtype=None,
+    dtype=None, kernel_ctx=None,
 ):
     """One decode step through all layers. x: (B, 1, D); pos: (B,) indices.
 
@@ -596,7 +606,8 @@ def encoder_stack_decode_step(
         lp, ck, cv = inp
         hin = apply_norm(lp["norm1"], h, None) if norm_first else h
         sa_out, ck, cv = mha_decode_step(
-            lp["self_attn"], hin, ck, cv, pos, bias, nhead, dtype=dtype)
+            lp["self_attn"], hin, ck, cv, pos, bias, nhead, dtype=dtype,
+            kernel_ctx=kernel_ctx)
         if norm_first:
             h = h + sa_out
             h = h + _ffn(lp["ffn"], apply_norm(lp["norm2"], h, None),
