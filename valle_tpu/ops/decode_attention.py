@@ -70,9 +70,9 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, v_hbm, o_ref, *, S, T, bk,
 
             k = kbuf[slot].astype(jnp.float32)   # (H, bk, D)
             v = vbuf[slot].astype(jnp.float32)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * sm_scale  # (H, bk)
+            # Single-query attention is bandwidth-bound; Mosaic rejects
+            # batched dots, so use VPU broadcast-multiply-reduce instead.
+            s = jnp.sum(q[:, None, :] * k, axis=-1) * sm_scale  # (H, bk)
             col = blk * bk + jax.lax.broadcasted_iota(
                 jnp.int32, (H, bk), 1)
             valid = (col < x_len) | ((col >= S) & (col <= wp))
@@ -83,9 +83,8 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, v_hbm, o_ref, *, S, T, bk,
             p = jnp.exp(s - m_new)
             alpha = jnp.exp(m_prev - m_new)
             l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-                p, v, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+            acc_scr[:] = acc_scr[:] * alpha + jnp.sum(
+                p[:, :, None] * v, axis=1)  # (H, D)
             m_scr[:] = m_new
             return _
 
