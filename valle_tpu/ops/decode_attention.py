@@ -68,24 +68,31 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, v_hbm, o_ref, *, S, T, bk,
             kd.wait()
             vd.wait()
 
-            k = kbuf[slot].astype(jnp.float32)   # (H, bk, D)
-            v = vbuf[slot].astype(jnp.float32)
-            # Single-query attention is bandwidth-bound; Mosaic rejects
-            # batched dots, so use VPU broadcast-multiply-reduce instead.
-            s = jnp.sum(q[:, None, :] * k, axis=-1) * sm_scale  # (H, bk)
+            # All-2D math (Mosaic rejects batched dots / trailing-1 dims):
+            # per-head (1,D)x(D,bk) and (1,bk)x(bk,D) matmuls, unrolled.
             col = blk * bk + jax.lax.broadcasted_iota(
-                jnp.int32, (H, bk), 1)
+                jnp.int32, (1, bk), 1)
             valid = (col < x_len) | ((col >= S) & (col <= wp))
-            s = jnp.where(valid, s, NEG_INF)
-
-            m_prev = m_scr[:]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m_prev - m_new)
-            l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc_scr[:] = acc_scr[:] * alpha + jnp.sum(
-                p[:, :, None] * v, axis=1)  # (H, D)
-            m_scr[:] = m_new
+            for h in range(H):
+                kh = kbuf[slot, h].astype(jnp.float32)   # (bk, D)
+                vh = vbuf[slot, h].astype(jnp.float32)
+                qh = q[h:h + 1, :]                       # (1, D)
+                s = jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * sm_scale  # (1,bk)
+                s = jnp.where(valid, s, NEG_INF)
+                m_prev = m_scr[h:h + 1, :]               # (1, 1)
+                m_new = jnp.maximum(m_prev,
+                                    jnp.max(s, axis=-1, keepdims=True))
+                p = jnp.exp(s - m_new)                   # (1, bk)
+                alpha = jnp.exp(m_prev - m_new)          # (1, 1)
+                l_scr[h:h + 1, :] = (l_scr[h:h + 1, :] * alpha
+                                     + jnp.sum(p, axis=-1, keepdims=True))
+                acc_scr[h:h + 1, :] = acc_scr[h:h + 1, :] * alpha + (
+                    jax.lax.dot_general(
+                        p, vh, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))  # (1, D)
+                m_scr[h:h + 1, :] = m_new
             return _
 
         jax.lax.fori_loop(0, n_blocks, loop, None)
