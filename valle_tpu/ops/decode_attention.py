@@ -30,8 +30,8 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, v_hbm, o_ref, *, S, T, bk,
     from jax.experimental.pallas import tpu as pltpu
 
     b = pl.program_id(0)
-    H, D = q_ref.shape[1], q_ref.shape[3]
-    q = q_ref[0, :, 0, :].astype(jnp.float32)  # (H, D)
+    H, D = q_ref.shape[1], q_ref.shape[2]
+    q = q_ref[0].astype(jnp.float32)  # (H, D)
     x_len = x_lens_ref[b]
     wp = wp_ref[b]
     n_blocks = wp // bk + 1  # only blocks that contain any valid key
@@ -96,8 +96,7 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, v_hbm, o_ref, *, S, T, bk,
             return _
 
         jax.lax.fori_loop(0, n_blocks, loop, None)
-        o_ref[0, :, 0, :] = (acc_scr[:]
-                             / jnp.maximum(l_scr[:], 1e-30)).astype(
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(
             o_ref.dtype)
 
     import jax.experimental.pallas as pl
@@ -134,20 +133,21 @@ def decode_attention(q, k_cache, v_cache, x_lens, write_pos, *, S: int,
         num_scalar_prefetch=2,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, H, 1, D), lambda b, *_: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, D), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, H, 1, D), lambda b, *_: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, H, D), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(_kernel, S=S, T=T, bk=block_k,
                                sm_scale=sm_scale)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, 1, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
         interpret=interpret,
-    )(x_lens.astype(jnp.int32), write_pos.astype(jnp.int32), q, k_cache,
-      v_cache)
+    )(x_lens.astype(jnp.int32), write_pos.astype(jnp.int32), q[:, :, 0, :],
+      k_cache, v_cache)
+    return out[:, :, None, :]
