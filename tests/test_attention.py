@@ -82,8 +82,10 @@ def test_decode_kernel_matches_oracle():
     v = jax.random.normal(ks[2], (B, H, T, D))
     x_lens = jnp.array([40, 25, 10])
     wp = jnp.array([300, 120, 60])
-    out = decode_attention(q, k, v, x_lens, wp, S=S, block_k=128,
-                           interpret=True)
+    # the kernel takes TRANSPOSED caches (B, H, D, T)
+    out = decode_attention(q, jnp.swapaxes(k, -2, -1),
+                           jnp.swapaxes(v, -2, -1), x_lens, wp, S=S,
+                           block_k=128, interpret=True)
     kk = jnp.arange(T)[None, :]
     valid = (kk < x_lens[:, None]) | ((kk >= S) & (kk <= wp[:, None]))
     bias = jnp.where(valid, 0.0, -jnp.inf)[:, None, None, :]

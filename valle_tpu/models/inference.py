@@ -121,6 +121,10 @@ def valle_ar_decode(
         params["ar"]["decoder"], xy, bias, nhead=cfg.nhead,
         cache_len=cache_len, norm_first=cfg.norm_first,
         activation=cfg.activation, dtype=dtype)
+    if use_decode_kernel:
+        # kernel cache layout: (L, B, H, Dh, Tmax) — one-time transpose
+        cache = {"k": jnp.swapaxes(cache["k"], -2, -1),
+                 "v": jnp.swapaxes(cache["v"], -2, -1)}
 
     W = params["ar"]["predict"]["w"].astype(dtype)  # (D, V+1)
     bidx = jnp.arange(B)

@@ -222,23 +222,28 @@ def mha_decode_step(p, x, cache_k, cache_v, pos, bias, nhead, dtype=None,
     q = _split_heads(q, nhead)           # (B, H, 1, Dh)
     k = _split_heads(k, nhead)           # (B, H, 1, Dh)
     v = _split_heads(v, nhead)
-    if jnp.ndim(pos) == 0:
+    if kernel_ctx is not None:
+        # Pallas decode-kernel path: caches are stored TRANSPOSED as
+        # (B, H, Dh, Tmax) so the kernel's HBM DMA slices are lane-aligned.
+        from ..ops.decode_attention import decode_attention
+
+        bidx = jnp.arange(B)
+        cache_k = cache_k.at[bidx, :, :, pos].set(k[:, :, 0, :])
+        cache_v = cache_v.at[bidx, :, :, pos].set(v[:, :, 0, :])
+        x_lens, write_pos, S, interp = kernel_ctx
+        out = decode_attention(q, cache_k, cache_v, x_lens, write_pos,
+                               S=S, interpret=interp)
+    elif jnp.ndim(pos) == 0:
         # aligned fast path: one slice update instead of a gather/scatter
         cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k, pos,
                                                       axis=2)
         cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v, pos,
                                                       axis=2)
+        out = _attend(q, cache_k, cache_v, bias)
     else:
         bidx = jnp.arange(B)
         cache_k = cache_k.at[bidx, :, pos, :].set(k[:, :, 0, :])
         cache_v = cache_v.at[bidx, :, pos, :].set(v[:, :, 0, :])
-    if kernel_ctx is not None:
-        from ..ops.decode_attention import decode_attention
-
-        x_lens, write_pos, S, interp = kernel_ctx
-        out = decode_attention(q, cache_k, cache_v, x_lens, write_pos,
-                               S=S, interpret=interp)
-    else:
         out = _attend(q, cache_k, cache_v, bias)
     out = _merge_heads(out)
     out_w = p["out_w"] if dtype is None else p["out_w"].astype(dtype)

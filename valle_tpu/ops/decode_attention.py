@@ -1,7 +1,9 @@
 """Pallas incremental-decode attention over a static KV cache.
 
 The AR decode loop attends one query token against a pre-allocated cache
-(B, H, Tmax, D). XLA's attention reads the ENTIRE static buffer every step;
+stored TRANSPOSED as (B, H, D, Tmax) — the block axis is minor so HBM DMA
+slices are 128-lane aligned. XLA's attention reads the ENTIRE static buffer
+every step;
 this kernel scalar-prefetches each sample's current write position and
 DMA's only the valid cache blocks (double-buffered HBM->VMEM), skipping the
 unwritten tail — the decode loop's HBM traffic scales with the true
@@ -32,6 +34,7 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, v_hbm, o_ref, *, S, T, bk,
     b = pl.program_id(0)
     H, D = q_ref.shape[1], q_ref.shape[2]
     q = q_ref[0].astype(jnp.float32)  # (H, D)
+    del T  # unused (grid bound comes from wp)
     x_len = x_lens_ref[b]
     wp = wp_ref[b]
     n_blocks = wp // bk + 1  # only blocks that contain any valid key
@@ -39,10 +42,10 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, v_hbm, o_ref, *, S, T, bk,
     def body(kbuf, vbuf, sems, m_scr, l_scr, acc_scr):
         def get_dma(slot, blk):
             kd = pltpu.make_async_copy(
-                k_hbm.at[b, :, pl.ds(blk * bk, bk), :], kbuf.at[slot],
+                k_hbm.at[b, :, :, pl.ds(blk * bk, bk)], kbuf.at[slot],
                 sems.at[slot, 0])
             vd = pltpu.make_async_copy(
-                v_hbm.at[b, :, pl.ds(blk * bk, bk), :], vbuf.at[slot],
+                v_hbm.at[b, :, :, pl.ds(blk * bk, bk)], vbuf.at[slot],
                 sems.at[slot, 1])
             return kd, vd
 
@@ -74,11 +77,11 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, v_hbm, o_ref, *, S, T, bk,
                 jnp.int32, (1, bk), 1)
             valid = (col < x_len) | ((col >= S) & (col <= wp))
             for h in range(H):
-                kh = kbuf[slot, h].astype(jnp.float32)   # (bk, D)
+                kh = kbuf[slot, h].astype(jnp.float32)   # (D, bk)
                 vh = vbuf[slot, h].astype(jnp.float32)
                 qh = q[h:h + 1, :]                       # (1, D)
                 s = jax.lax.dot_general(
-                    qh, kh, (((1,), (1,)), ((), ())),
+                    qh, kh, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32) * sm_scale  # (1,bk)
                 s = jnp.where(valid, s, NEG_INF)
                 m_prev = m_scr[h:h + 1, :]               # (1, 1)
@@ -90,7 +93,7 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, v_hbm, o_ref, *, S, T, bk,
                                      + jnp.sum(p, axis=-1, keepdims=True))
                 acc_scr[h:h + 1, :] = acc_scr[h:h + 1, :] * alpha + (
                     jax.lax.dot_general(
-                        p, vh, (((1,), (0,)), ((), ())),
+                        p, vh, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32))  # (1, D)
                 m_scr[h:h + 1, :] = m_new
             return _
@@ -104,8 +107,8 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, v_hbm, o_ref, *, S, T, bk,
 
     pl.run_scoped(
         body,
-        kbuf=pltpu.VMEM((2, H, bk, D), k_hbm.dtype),
-        vbuf=pltpu.VMEM((2, H, bk, D), v_hbm.dtype),
+        kbuf=pltpu.VMEM((2, H, D, bk), k_hbm.dtype),
+        vbuf=pltpu.VMEM((2, H, D, bk), v_hbm.dtype),
         sems=pltpu.SemaphoreType.DMA((2, 2)),
         m_scr=pltpu.VMEM((H, 1), jnp.float32),
         l_scr=pltpu.VMEM((H, 1), jnp.float32),
@@ -117,7 +120,8 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, v_hbm, o_ref, *, S, T, bk,
                    static_argnames=("S", "block_k", "interpret"))
 def decode_attention(q, k_cache, v_cache, x_lens, write_pos, *, S: int,
                      block_k: int = BLOCK_K, interpret: bool = False):
-    """q: (B, H, 1, D); k/v_cache: (B, H, T, D); x_lens, write_pos: (B,).
+    """q: (B, H, 1, D); k/v_cache: (B, H, D, T) TRANSPOSED; x_lens,
+    write_pos: (B,).
 
     Returns (B, H, 1, D). T must be a multiple of block_k (pad the cache
     allocation accordingly); unwritten blocks are never read.
@@ -125,7 +129,7 @@ def decode_attention(q, k_cache, v_cache, x_lens, write_pos, *, S: int,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, H, T, D = k_cache.shape
+    B, H, D, T = k_cache.shape
     assert T % block_k == 0, (T, block_k)
     sm_scale = 1.0 / math.sqrt(D)
 
