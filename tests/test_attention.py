@@ -117,3 +117,30 @@ def test_ar_decode_kernel_token_equality():
                                use_decode_kernel=True, kernel_interpret=True)
     np.testing.assert_array_equal(np.asarray(bl), np.asarray(kl))
     np.testing.assert_array_equal(np.asarray(base), np.asarray(kern))
+
+
+def test_ar_decode_int8_cache_close():
+    """int8 KV cache: tokens agree with the fp path on an untrained model
+    (near-ties may flip; require >90% agreement and matching lengths)."""
+    import jax
+    import jax.numpy as jnp
+
+    from valle_tpu.models import ValleConfig, init_valle
+    from valle_tpu.models.inference import valle_ar_decode
+
+    cfg = ValleConfig(d_model=64, nhead=4, num_layers=2, prefix_mode=1,
+                      num_quantizers=8, max_len=512, max_prefix_len=8)
+    params, _ = init_valle(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    B, S, P, G = 2, 9, 6, 24
+    text = jax.random.randint(ks[0], (B, S), 0, 90)
+    text_lens = jnp.array([9, 6])
+    pq0 = jax.random.randint(ks[1], (B, P), 0, 1024)
+    p_lens = jnp.array([6, 4])
+    base, bl = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                               ks[2], top_k=1, max_gen_len=G)
+    i8, il = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                             ks[2], top_k=1, max_gen_len=G,
+                             kv_cache_int8=True)
+    agreement = float((np.asarray(base) == np.asarray(i8)).mean())
+    assert agreement > 0.9, agreement

@@ -63,7 +63,8 @@ def _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype):
     jax.jit,
     static_argnames=("cfg", "top_k", "max_gen_len", "compute_dtype",
                      "force_full_length", "aligned_prompts",
-                     "use_decode_kernel", "kernel_interpret"),
+                     "use_decode_kernel", "kernel_interpret",
+                     "kv_cache_int8"),
 )
 def valle_ar_decode(
     params,
@@ -82,12 +83,15 @@ def valle_ar_decode(
     aligned_prompts: bool = False,
     use_decode_kernel: bool = False,
     kernel_interpret: bool = False,
+    kv_cache_int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched KV-cache AR decode of quantizer-0 codes.
 
     ``use_decode_kernel`` routes per-step attention through the Pallas
     decode kernel (reads only valid cache blocks; see
-    ops/decode_attention.py).
+    ops/decode_attention.py). ``kv_cache_int8`` stores the cache int8 with
+    per-position scales (halves decode HBM traffic; logits shift slightly
+    so greedy tokens may differ at near-ties).
 
     Returns (gen_codes (B, max_gen_len) int32, gen_lens (B,) int32).
     ``force_full_length`` disables the stop conditions (benchmarking knob:
@@ -125,6 +129,10 @@ def valle_ar_decode(
         # kernel cache layout: (L, B, H, Dh, Tmax) — one-time transpose
         cache = {"k": jnp.swapaxes(cache["k"], -2, -1),
                  "v": jnp.swapaxes(cache["v"], -2, -1)}
+    elif kv_cache_int8:
+        kq, ksc = tfm.quantize_kv(cache["k"])
+        vq, vsc = tfm.quantize_kv(cache["v"])
+        cache = {"k": kq, "v": vq, "k_scale": ksc, "v_scale": vsc}
 
     W = params["ar"]["predict"]["w"].astype(dtype)  # (D, V+1)
     bidx = jnp.arange(B)
@@ -181,12 +189,18 @@ def valle_ar_decode(
         step_bias = jnp.where(key_valid, 0.0, M.NEG_INF).astype(
             jnp.float32)[:, None, None, :]
 
-        kctx = ((x_lens, wp, S, kernel_interpret)
-                if use_decode_kernel else None)
-        hidden_s, cache_c = tfm.encoder_stack_decode_step(
-            params["ar"]["decoder"], xstep, cache_c, write_pos, step_bias,
-            nhead=cfg.nhead, norm_first=cfg.norm_first,
-            activation=cfg.activation, dtype=dtype, kernel_ctx=kctx)
+        if kv_cache_int8 and not use_decode_kernel:
+            hidden_s, cache_c = tfm.encoder_stack_decode_step_int8(
+                params["ar"]["decoder"], xstep, cache_c, write_pos,
+                step_bias, nhead=cfg.nhead, norm_first=cfg.norm_first,
+                activation=cfg.activation, dtype=dtype)
+        else:
+            kctx = ((x_lens, wp, S, kernel_interpret)
+                    if use_decode_kernel else None)
+            hidden_s, cache_c = tfm.encoder_stack_decode_step(
+                params["ar"]["decoder"], xstep, cache_c, write_pos,
+                step_bias, nhead=cfg.nhead, norm_first=cfg.norm_first,
+                activation=cfg.activation, dtype=dtype, kernel_ctx=kctx)
         new_logits = (hidden_s[:, 0] @ W).astype(jnp.float32)
         return (g + 1, rng_c, cache_c, new_logits, done, gen_codes, gen_lens)
 

@@ -202,6 +202,51 @@ def mha_cross(p, xq, mem_k, mem_v, bias, nhead, *, dropout_rate=0.0, rng=None,
     return out @ out_w + out_b
 
 
+def quantize_kv(x, axis=-1):
+    """Symmetric per-position int8 quantization for KV caches.
+
+    x (..., Dh) -> (int8 values, scales (...,)) with x ~= q * scale.
+    Halves the decode loop's dominant HBM traffic (the cache reads).
+    """
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
+        / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127,
+                 127).astype(jnp.int8)
+    return q, scale[..., 0]
+
+
+def mha_decode_step_int8(p, x, cache_k, cache_v, k_scale, v_scale, pos,
+                         bias, nhead, dtype=None):
+    """Decode step over an int8-quantized KV cache.
+
+    cache_k/v: (B, H, Tmax, Dh) int8; k/v_scale: (B, H, Tmax) fp.
+    """
+    B = x.shape[0]
+    in_w = p["in_w"] if dtype is None else p["in_w"].astype(dtype)
+    in_b = p["in_b"] if dtype is None else p["in_b"].astype(dtype)
+    qkv = x @ in_w + in_b
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = _split_heads(q, nhead)
+    k = _split_heads(k, nhead)
+    v = _split_heads(v, nhead)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    bidx = jnp.arange(B)
+    cache_k = cache_k.at[bidx, :, pos, :].set(kq[:, :, 0, :])
+    cache_v = cache_v.at[bidx, :, pos, :].set(vq[:, :, 0, :])
+    k_scale = k_scale.at[bidx, :, pos].set(ks[:, :, 0])
+    v_scale = v_scale.at[bidx, :, pos].set(vs[:, :, 0])
+    dt = q.dtype
+    kf = cache_k.astype(dt) * k_scale[..., None].astype(dt)
+    vf = cache_v.astype(dt) * v_scale[..., None].astype(dt)
+    out = _attend(q, kf, vf, bias)
+    out = _merge_heads(out)
+    out_w = p["out_w"] if dtype is None else p["out_w"].astype(dtype)
+    out_b = p["out_b"] if dtype is None else p["out_b"].astype(dtype)
+    return out @ out_w + out_b, cache_k, cache_v, k_scale, v_scale
+
+
 def mha_decode_step(p, x, cache_k, cache_v, pos, bias, nhead, dtype=None,
                     kernel_ctx=None):
     """One-token self-attention against a static KV cache.
@@ -595,6 +640,39 @@ def decoder_stack_decode_step(
     if "final_norm" in p:
         h = apply_norm(p["final_norm"], h, None)
     return h, {"k": ks, "v": vs, "mk": cache["mk"], "mv": cache["mv"]}
+
+
+def encoder_stack_decode_step_int8(
+    p, x, cache, pos, bias, *, nhead, norm_first=True, activation="relu",
+    dtype=None,
+):
+    """Like encoder_stack_decode_step but over an int8 KV cache with
+    per-position scales (cache keys: k, v, k_scale, v_scale)."""
+
+    def body(h, inp):
+        lp, ck, cv, ksc, vsc = inp
+        hin = apply_norm(lp["norm1"], h, None) if norm_first else h
+        sa_out, ck, cv, ksc, vsc = mha_decode_step_int8(
+            lp["self_attn"], hin, ck, cv, ksc, vsc, pos, bias, nhead,
+            dtype=dtype)
+        if norm_first:
+            h = h + sa_out
+            h = h + _ffn(lp["ffn"], apply_norm(lp["norm2"], h, None),
+                         activation, dropout_rate=0.0, rng=None,
+                         deterministic=True, dtype=dtype)
+        else:
+            h = apply_norm(lp["norm1"], h + sa_out, None)
+            h = apply_norm(lp["norm2"], h + _ffn(
+                lp["ffn"], h, activation, dropout_rate=0.0, rng=None,
+                deterministic=True, dtype=dtype), None)
+        return h, (ck, cv, ksc, vsc)
+
+    h, (ks, vs, kscs, vscs) = jax.lax.scan(
+        body, x, (p["layers"], cache["k"], cache["v"], cache["k_scale"],
+                  cache["v_scale"]))
+    if "final_norm" in p:
+        h = apply_norm(p["final_norm"], h, None)
+    return h, {"k": ks, "v": vs, "k_scale": kscs, "v_scale": vscs}
 
 
 def encoder_stack_decode_step(
