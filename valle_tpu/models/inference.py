@@ -64,7 +64,7 @@ def _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype):
     static_argnames=("cfg", "top_k", "max_gen_len", "compute_dtype",
                      "force_full_length", "aligned_prompts",
                      "use_decode_kernel", "kernel_interpret",
-                     "kv_cache_int8"),
+                     "kv_cache_int8", "decode_kernel_mode"),
 )
 def valle_ar_decode(
     params,
@@ -84,6 +84,7 @@ def valle_ar_decode(
     use_decode_kernel: bool = False,
     kernel_interpret: bool = False,
     kv_cache_int8: bool = False,
+    decode_kernel_mode: str = "grouped",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched KV-cache AR decode of quantizer-0 codes.
 
@@ -113,7 +114,8 @@ def valle_ar_decode(
     if use_decode_kernel:
         from ..ops.decode_attention import BLOCK_K
 
-        cache_len = ((cache_len + BLOCK_K - 1) // BLOCK_K) * BLOCK_K
+        blk = 128 if decode_kernel_mode == "grouped" else BLOCK_K
+        cache_len = ((cache_len + blk - 1) // blk) * blk
 
     x, y = _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype)
     xy = jnp.concatenate([x, y], axis=1)           # (B, S0, D)
@@ -195,7 +197,7 @@ def valle_ar_decode(
                 step_bias, nhead=cfg.nhead, norm_first=cfg.norm_first,
                 activation=cfg.activation, dtype=dtype)
         else:
-            kctx = ((x_lens, wp, S, kernel_interpret)
+            kctx = ((x_lens, wp, S, kernel_interpret, decode_kernel_mode)
                     if use_decode_kernel else None)
             hidden_s, cache_c = tfm.encoder_stack_decode_step(
                 params["ar"]["decoder"], xstep, cache_c, write_pos,

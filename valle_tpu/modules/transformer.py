@@ -275,9 +275,18 @@ def mha_decode_step(p, x, cache_k, cache_v, pos, bias, nhead, dtype=None,
         bidx = jnp.arange(B)
         cache_k = cache_k.at[bidx, :, :, pos].set(k[:, :, 0, :])
         cache_v = cache_v.at[bidx, :, :, pos].set(v[:, :, 0, :])
-        x_lens, write_pos, S, interp = kernel_ctx
-        out = decode_attention(q, cache_k, cache_v, x_lens, write_pos,
-                               S=S, interpret=interp)
+        x_lens, write_pos, S, interp, mode = kernel_ctx
+        if mode == "grouped" and B % 8 == 0:
+            from ..ops.decode_attention_grouped import (
+                decode_attention_grouped,
+            )
+
+            out = decode_attention_grouped(
+                q, cache_k, cache_v, x_lens, write_pos, S=S, group=8,
+                interpret=interp)
+        else:
+            out = decode_attention(q, cache_k, cache_v, x_lens, write_pos,
+                                   S=S, interpret=interp)
     elif jnp.ndim(pos) == 0:
         # aligned fast path: one slice update instead of a gather/scatter
         cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k, pos,
