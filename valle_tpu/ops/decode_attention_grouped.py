@@ -71,10 +71,11 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, v_hbm, o_ref, *, S, bk, G,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-        # block-diagonal structure + per-sample validity, shared by heads
+        # block-diagonal structure + per-sample validity, shared by heads.
+        # All mask math in f32 (Mosaic rejects some i1 vector casts).
         lane = jax.lax.broadcasted_iota(jnp.int32, (G, G * bk), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (G, G * bk), 0)
-        own = (lane // bk) == row                      # block diagonal
+        own_f = jnp.where((lane // bk) == row, 1.0, 0.0)  # block diagonal
 
         def loop(blk, _):
             slot = blk % 2
@@ -87,11 +88,14 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, v_hbm, o_ref, *, S, bk, G,
             wait_dmas(slot, blk)
 
             col = blk * bk + (lane % bk)               # key position
-            valid = own
+            valid_f = own_f
             for g in range(G):
-                vg = (col < x_lens_ref[bg * G + g]) | (
-                    (col >= S) & (col <= wp_ref[bg * G + g]))
-                valid = valid & jnp.where(row == g, vg, True)
+                in_text = jnp.where(col < x_lens_ref[bg * G + g], 1.0, 0.0)
+                in_audio = jnp.where(col >= S, 1.0, 0.0) * jnp.where(
+                    col <= wp_ref[bg * G + g], 1.0, 0.0)
+                vg = jnp.minimum(in_text + in_audio, 1.0)
+                row_g = jnp.where(row == g, 1.0, 0.0)
+                valid_f = valid_f * (1.0 - row_g * (1.0 - vg))
 
             for h in range(H):
                 Kh = kbuf[slot, h].astype(jnp.float32)     # (D, G*bk)
@@ -100,7 +104,7 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, v_hbm, o_ref, *, S, bk, G,
                 s = jax.lax.dot_general(
                     Qh, Kh, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32) * sm_scale
-                s = jnp.where(valid, s, NEG_INF)           # (G, G*bk)
+                s = s * valid_f + (1.0 - valid_f) * NEG_INF  # (G, G*bk)
                 m_prev = m_scr[h]                          # (G, 1)
                 m_new = jnp.maximum(
                     m_prev, jnp.max(s, axis=-1, keepdims=True))
