@@ -114,6 +114,10 @@ def valle_ar_decode(
     if use_decode_kernel:
         from ..ops.decode_attention import BLOCK_K
 
+        # grouped mode needs B % 8 == 0; resolve the effective mode here so
+        # cache rounding and kernel dispatch agree
+        if decode_kernel_mode == "grouped" and B % 8 != 0:
+            decode_kernel_mode = "per_sample"
         blk = 128 if decode_kernel_mode == "grouped" else BLOCK_K
         cache_len = ((cache_len + blk - 1) // blk) * blk
 

@@ -276,7 +276,7 @@ def mha_decode_step(p, x, cache_k, cache_v, pos, bias, nhead, dtype=None,
         cache_k = cache_k.at[bidx, :, :, pos].set(k[:, :, 0, :])
         cache_v = cache_v.at[bidx, :, :, pos].set(v[:, :, 0, :])
         x_lens, write_pos, S, interp, mode = kernel_ctx
-        if mode == "grouped" and B % 8 == 0:
+        if mode == "grouped":
             from ..ops.decode_attention_grouped import (
                 decode_attention_grouped,
             )
