@@ -51,17 +51,19 @@ def main():
 
     import numpy as np
 
-    # warmup / compile; np.asarray forces full materialization (the tunnel
-    # backend caches identical-input executions, so every timing iteration
-    # must use a fresh rng)
+    # Timing methodology (hard-won on this backend):
+    # - jax.block_until_ready does NOT wait on the tunnel backend (it
+    #   returns at dispatch); every iteration must MATERIALIZE its result
+    #   with np.asarray to time real execution.
+    # - identical-input executions are cached; fold a fresh rng per iter.
     codes, lens = run(ks[2])
-    np.asarray(codes)
+    np.asarray(codes)  # warmup / compile
 
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
         codes, lens = run(jax.random.fold_in(ks[2], i + 1))
-    np.asarray(codes)
+        np.asarray(codes)
     dt = (time.perf_counter() - t0) / n_iters
 
     frames = B * GEN
