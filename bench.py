@@ -56,8 +56,12 @@ def main():
     #   returns at dispatch); every iteration must MATERIALIZE its result
     #   with np.asarray to time real execution.
     # - identical-input executions are cached; fold a fresh rng per iter.
-    codes, lens = run(ks[2])
-    np.asarray(codes)  # warmup / compile
+    # - the first ~3 post-compile executions run ~2x slow (one-time
+    #   program/weight loading); warm up with several executions before
+    #   timing steady state.
+    for w in range(4):
+        codes, lens = run(jax.random.fold_in(ks[2], 100 + w))
+        np.asarray(codes)
 
     n_iters = 3
     t0 = time.perf_counter()

@@ -126,6 +126,8 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
 
     cache_dir = path or os.environ.get(
         "VALLE_TPU_COMPILATION_CACHE", "/tmp/valle_tpu_xla_cache")
+    if cache_dir in ("off", "0", "none"):
+        return
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
