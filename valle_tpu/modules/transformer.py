@@ -617,13 +617,27 @@ def decoder_stack_decode_step(
     p, x, cache, pos, self_bias, cross_bias, *, nhead, norm_first=True,
     activation="relu", dtype=None,
 ):
-    """One cross-attending decode step. x: (B,1,D); pos scalar or (B,)."""
+    """One cross-attending decode step. x: (B,1,D); pos scalar or (B,).
 
-    def body(h, inp):
-        lp, ck, cv, mk, mv = inp
+    The self-attention caches are fori_loop CARRIES (aliasable in place);
+    scan xs/ys would double-buffer and copy them every token (see
+    encoder_stack_decode_step PERF NOTE).
+    """
+    L = jax.tree_util.tree_leaves(p["layers"])[0].shape[0]
+
+    def body(i, carry):
+        h, ck_all, cv_all = carry
+        lp = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+            p["layers"])
+        mk = jax.lax.dynamic_index_in_dim(cache["mk"], i, 0, keepdims=False)
+        mv = jax.lax.dynamic_index_in_dim(cache["mv"], i, 0, keepdims=False)
         hin = apply_norm(lp["norm1"], h, None) if norm_first else h
         sa_out, ck, cv = mha_decode_step(
-            lp["self_attn"], hin, ck, cv, pos, self_bias, nhead, dtype=dtype)
+            lp["self_attn"], hin, ck_all[i], cv_all[i], pos, self_bias,
+            nhead, dtype=dtype)
+        ck_all = jax.lax.dynamic_update_index_in_dim(ck_all, ck, i, 0)
+        cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, cv, i, 0)
         if norm_first:
             h = h + sa_out
         else:
@@ -641,11 +655,9 @@ def decoder_stack_decode_step(
             h = apply_norm(lp["norm3"], h + _ffn(
                 lp["ffn"], h, activation, dropout_rate=0.0, rng=None,
                 deterministic=True, dtype=dtype), None)
-        return h, (ck, cv)
+        return (h, ck_all, cv_all)
 
-    h, (ks, vs) = jax.lax.scan(
-        body, x, (p["layers"], cache["k"], cache["v"], cache["mk"],
-                  cache["mv"]))
+    h, ks, vs = jax.lax.fori_loop(0, L, body, (x, cache["k"], cache["v"]))
     if "final_norm" in p:
         h = apply_norm(p["final_norm"], h, None)
     return h, {"k": ks, "v": vs, "mk": cache["mk"], "mv": cache["mv"]}
