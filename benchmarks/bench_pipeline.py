@@ -13,12 +13,15 @@ import jax.numpy as jnp
 
 
 def timeit(f, iters=3):
-    o = f()
-    jax.block_until_ready(o)
+    """Materialize EVERY iteration (block_until_ready is dispatch-only on
+    the tunnel backend) and warm past the slow first executions."""
+    import numpy as np
+
+    for _ in range(3):
+        np.asarray(jax.tree_util.tree_leaves(f())[0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        o = f()
-    jax.block_until_ready(o)
+        np.asarray(jax.tree_util.tree_leaves(f())[0])
     return (time.perf_counter() - t0) / iters
 
 
@@ -39,9 +42,13 @@ def main():
     prompts = jax.random.randint(ks[1], (B, P, 8), 0, 1024, dtype=jnp.int32)
     p_lens = jnp.full((B,), P, jnp.int32)
 
+    state = {"i": 0}
+
     def ar():
+        state["i"] += 1
         return valle_ar_decode(
-            params, cfg, text, text_lens, prompts[..., 0], p_lens, ks[2],
+            params, cfg, text, text_lens, prompts[..., 0], p_lens,
+            jax.random.fold_in(ks[2], state["i"]),
             top_k=10, max_gen_len=GEN, compute_dtype=jnp.bfloat16,
             force_full_length=True)
 
@@ -49,8 +56,11 @@ def main():
     t_ar = timeit(ar)
 
     def nar():
+        # perturb one token per call (identical-input runs are cached)
+        state["i"] += 1
+        g = gen_q0.at[0, 0].set(state["i"] % 1024)
         return valle_nar_decode(
-            params, cfg, text, text_lens, prompts, p_lens, gen_q0, gen_lens,
+            params, cfg, text, text_lens, prompts, p_lens, g, gen_lens,
             compute_dtype=jnp.bfloat16)
 
     codes = nar()
@@ -60,7 +70,9 @@ def main():
     cparams = init_encodec(jax.random.PRNGKey(3), ccfg)
 
     def codec():
-        return encodec_decode(cparams, codes, cfg=ccfg)
+        state["i"] += 1
+        c = codes.at[0, 0, 0].set(state["i"] % 1024)
+        return encodec_decode(cparams, c, cfg=ccfg)
 
     t_codec = timeit(codec)
 
