@@ -80,6 +80,9 @@ def get_parser():
     parser.add_argument("--filter-max-duration", type=float, default=20.0)
     parser.add_argument("--train-stage", type=int, default=0,
                         help="0: all, 1: AR decoder, 2: NAR decoders.")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="Tensor-parallel size; local devices are laid "
+                             "out as a (data = n//tp, model = tp) mesh.")
     parser.add_argument("--visualize", type=str2bool, default=False)
     parser.add_argument("--profile", type=str2bool, default=False,
                         help="Capture a jax.profiler trace of training "
@@ -116,8 +119,14 @@ def filter_short_and_long_utterances(cuts, min_duration, max_duration):
     return cuts.filter(keep)
 
 
-def _model_batch(batch, accum: int):
-    """Host batch dict -> model inputs, reshaped for grad accumulation."""
+def _model_batch(batch, accum: int, dp: int = 1):
+    """Host batch dict -> model inputs, reshaped for grad accumulation.
+
+    The batch is rounded to a multiple of ``accum * dp`` so each microbatch
+    divides evenly over the 'data' mesh axis (tiny batches are duplicated
+    up, oversized remainders dropped — the sampler's duration budget makes
+    remainders rare).
+    """
     from ..data.input_strategies import PromptedFeatures
 
     feats = batch["audio_features"]
@@ -141,17 +150,32 @@ def _model_batch(batch, accum: int):
             out["audio"] = feats.astype(np.int32)    # codec tokens
         out["audio_lens"] = np.asarray(lens, np.int32)
 
-    if accum > 1:
+    group = accum * dp
+    if group > 1:
         B = out["text"].shape[0]
-        usable = (B // accum) * accum
-        if usable == 0:  # duplicate to fill microbatches
-            reps = -(-accum // B)
-            out = {k: np.concatenate([v] * reps)[:accum]
+        usable = (B // group) * group
+        if usable == 0:  # duplicate to fill microbatches / data shards
+            reps = -(-group // B)
+            out = {k: np.concatenate([v] * reps)[:group]
                    for k, v in out.items()}
-            usable = accum
-        out = {k: v[:usable].reshape(accum, usable // accum, *v.shape[1:])
-               for k, v in out.items()}
+            usable = group
+        if accum > 1:
+            out = {k: v[:usable].reshape(accum, usable // accum,
+                                         *v.shape[1:])
+                   for k, v in out.items()}
+        else:
+            out = {k: v[:usable] for k, v in out.items()}
     return out
+
+
+def _place_batch(mb, mesh, accum: int):
+    """device_put the host batch with DP shardings over the mesh."""
+    import jax
+
+    from ..parallel.mesh import batch_shardings
+
+    return jax.device_put(
+        mb, batch_shardings(mb, mesh, leading_accum=accum > 1))
 
 
 def load_checkpoint_if_available(params, exp_dir: Path, model, opt):
@@ -185,7 +209,7 @@ def load_checkpoint_if_available(params, exp_dir: Path, model, opt):
 
 
 def compute_validation_loss(params, model, model_params, model_state,
-                            valid_dl, compute_dtype, world_size=1):
+                            valid_dl, compute_dtype, mesh=None):
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -206,7 +230,10 @@ def compute_validation_loss(params, model, model_params, model_state,
             transformer_tts_forward, cfg=model.cfg,
             deterministic=True, compute_dtype=compute_dtype))
     for batch in valid_dl:
-        mb = _model_batch(batch, accum=1)
+        mb = _model_batch(batch, accum=1,
+                          dp=mesh.shape["data"] if mesh is not None else 1)
+        if mesh is not None:
+            mb = _place_batch(mb, mesh, accum=1)
         loss, metrics, _ = fwd(model_params, batch=mb, state=model_state)
         frames = float(metrics["frames"])
         tot["loss"] += float(loss)
@@ -325,8 +352,16 @@ def run(args) -> None:
         model_avg = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float64), state.params)
 
-    # mesh + sharding (pure DP by default; TP via --tp below if added)
-    mesh = make_mesh(tp=1)
+    # mesh + sharding: (data = n_devices // tp, model = tp); params and
+    # mirrored optimizer buffers carry the TP shardings, batches are
+    # device_put with DP shardings every step (reference DDP semantics,
+    # trainer.py:867,915,1152 — done the XLA way: shardings in, psum out)
+    n_dev = len(jax.devices())
+    if n_dev % args.tp != 0:
+        raise SystemExit(
+            f"--tp {args.tp} does not divide device count {n_dev}")
+    mesh = make_mesh(tp=args.tp)
+    logging.info(f"Device mesh: {dict(mesh.shape)}")
     from valle_tpu.training import shard_train_state
 
     state = shard_train_state(state, mesh)
@@ -350,22 +385,23 @@ def run(args) -> None:
 
     if args.oom_check:
         scan_largest_batches_for_compile(args, cfg, step_fn, state,
-                                         train_dl, rng)
+                                         train_dl, rng, mesh)
 
     for epoch in range(args.start_epoch, args.num_epochs + 1):
         params.cur_epoch = epoch
         train_dl.sampler.set_epoch(epoch - 1)
         state, model_avg = train_one_epoch(
             args, params, model, state, step_fn, train_dl, valid_dl,
-            compute_dtype, tb_writer, rng, epoch, exp_dir, model_avg)
+            compute_dtype, tb_writer, rng, epoch, exp_dir, model_avg, mesh)
         save_checkpoint(exp_dir, f"epoch-{epoch}", params, state, model,
                         sampler_state=train_dl.sampler.state_dict(),
                         model_avg=model_avg)
     logging.info("Done!")
+    return state
 
 
 def scan_largest_batches_for_compile(args, cfg, step_fn, state, train_dl,
-                                     rng):
+                                     rng, mesh=None):
     """TPU analog of the reference OOM pre-scan (trainer.py:1096-1140):
     compile + run the train step on each distinct bucket shape up front."""
     import jax
@@ -380,7 +416,10 @@ def scan_largest_batches_for_compile(args, cfg, step_fn, state, train_dl,
     for key, b in sorted(shapes.items(), reverse=True):
         batch = train_dl.dataset.__getitem__(
             b.cuts, pad_audio_to=b.pad_audio_to, pad_text_to=b.pad_text_to)
-        mb = _model_batch(batch, args.accumulate_grad_steps)
+        mb = _model_batch(batch, args.accumulate_grad_steps,
+                          dp=mesh.shape["data"] if mesh is not None else 1)
+        if mesh is not None:
+            mb = _place_batch(mb, mesh, args.accumulate_grad_steps)
         try:
             new_state, metrics = step_fn(state, mb, jnp.int32(0), rng)
             jax.block_until_ready(metrics["loss"])
@@ -411,10 +450,11 @@ def visualize_one_batch(args, model, state, valid_dl, exp_dir, epoch,
 
 def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
                     compute_dtype, tb_writer, rng, epoch, exp_dir,
-                    model_avg):
+                    model_avg, mesh=None):
     import jax
     import jax.numpy as jnp
 
+    dp = mesh.shape["data"] if mesh is not None else 1
     tot_loss = MetricsTracker()
     iter_dl = iter(train_dl)
 
@@ -429,12 +469,14 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
                 jax.profiler.stop_trace()
                 profiling = False
                 logging.info(f"profiler trace written to {exp_dir}/profile")
-        mb = _model_batch(batch, args.accumulate_grad_steps)
+        mb = _model_batch(batch, args.accumulate_grad_steps, dp=dp)
+        if mesh is not None:
+            mb = _place_batch(mb, mesh, args.accumulate_grad_steps)
         try:
             state, metrics = step_fn(state, mb, jnp.int32(epoch), rng)
         except Exception:
             fname = exp_dir / f"batch-{uuid.uuid4()}.npz"
-            np.savez(fname, **{k: v for k, v in mb.items()})
+            np.savez(fname, **{k: np.asarray(v) for k, v in mb.items()})
             logging.exception(f"train step failed; batch saved to {fname}")
             raise
 
@@ -493,7 +535,7 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
             logging.info("Computing validation loss")
             valid_info = compute_validation_loss(
                 params, model, state.params, state.model_state, valid_dl,
-                compute_dtype)
+                compute_dtype, mesh=mesh)
             logging.info(f"Epoch {epoch}, validation: {valid_info}")
             if args.visualize:
                 visualize_one_batch(args, model, state, valid_dl,

@@ -36,17 +36,15 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1,
     return Mesh(arr, axis_names=("data", "model"))
 
 
-def _leaf_spec(path, leaf) -> P:
-    """Tensor-parallel partition spec for one parameter leaf.
+def _spec_from_keys(keys, leaf) -> P:
+    """Tensor-parallel partition spec for one parameter leaf (by key path).
 
     Attention in-projections and FFN first layers are column-parallel
     (shard the output dim over 'model'); out-projections and FFN second
     layers are row-parallel (shard the input dim). Everything else is
     replicated. Leaves under 'layers' carry a leading stacking axis.
     """
-    keys = [getattr(e, "key", None) for e in path]
     name = keys[-1] if keys else None
-    stacked = "layers" in keys
     nd = leaf.ndim
 
     def spec(*tail):
@@ -69,24 +67,64 @@ def _leaf_spec(path, leaf) -> P:
     return P()  # replicated
 
 
+def _guarded_sharding(keys, leaf, mesh: Mesh) -> NamedSharding:
+    spec = _spec_from_keys(keys, leaf)
+    # guard: dims must divide the mesh axis size
+    tp = mesh.shape["model"]
+    ok = all(
+        (s is None) or (leaf.shape[i] % tp == 0)
+        for i, s in enumerate(spec + (None,) * (leaf.ndim - len(spec))))
+    return NamedSharding(mesh, spec if ok else P())
+
+
 def param_shardings(params, mesh: Mesh):
     """NamedSharding pytree for the parameter tree (TP rules above)."""
     def f(path, leaf):
-        spec = _leaf_spec(path, leaf)
-        # guard: dims must divide the mesh axis size
-        tp = mesh.shape["model"]
-        ok = all(
-            (s is None) or (leaf.shape[i] % tp == 0)
-            for i, s in enumerate(spec + (None,) * (leaf.ndim - len(spec))))
-        return NamedSharding(mesh, spec if ok else P())
+        return _guarded_sharding([getattr(e, "key", None) for e in path],
+                                 leaf, mesh)
 
     return jax.tree_util.tree_map_with_path(f, params)
 
 
-def batch_shardings(batch, mesh: Mesh):
-    """Shard the leading (batch) dim of every array over 'data'."""
+def opt_state_shardings(opt_state, params, mesh: Mesh):
+    """NamedSharding pytree for an optimizer state.
+
+    Optimizer buffers mirror parameter leaves nested under state fields
+    (e.g. ``.inner_state[0].exp_avg_sq['ar']['decoder']...``); each buffer
+    leaf gets the TP spec of the parameter whose key path is a suffix of the
+    buffer's path (guarded by shape divisibility — per-tensor statistics
+    whose trailing dims are size-1 fall back to replication). Scalars and
+    hyperparams are replicated. Works through ``optax.masked`` /
+    ``inject_hyperparams`` wrappers because matching is by path suffix, not
+    tree structure.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    param_paths = {
+        tuple(getattr(e, "key", None) for e in path) for path, _ in flat}
+
+    def f(path, leaf):
+        keys = [getattr(e, "key", None) for e in path]
+        for start in range(len(keys)):
+            suffix = tuple(keys[start:])
+            if suffix in param_paths:
+                return _guarded_sharding(list(suffix), leaf, mesh)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(f, opt_state)
+
+
+def batch_shardings(batch, mesh: Mesh, *, leading_accum: bool = False):
+    """Shard the batch dim of every array over 'data'.
+
+    With ``leading_accum=True`` arrays are (accum, batch, ...): the
+    microbatch dim is replicated (it is scanned over inside the step) and
+    dim 1 is sharded.
+    """
+    lead = (None,) if leading_accum else ()
+
     def f(leaf):
-        return NamedSharding(mesh, P("data", *([None] * (leaf.ndim - 1))))
+        tail = (None,) * (leaf.ndim - len(lead) - 1)
+        return NamedSharding(mesh, P(*lead, "data", *tail))
 
     return jax.tree_util.tree_map(f, batch)
 

@@ -188,18 +188,21 @@ def init_train_state(rng, cfg, optimizer) -> TrainState:
 
 
 def shard_train_state(state: TrainState, mesh):
-    """Place a TrainState on the mesh (params TP-sharded, rest replicated
-    except optimizer buffers that mirror param shapes)."""
-    from .parallel.mesh import param_shardings, replicated
+    """Place a TrainState on the mesh: params carry the TP shardings, and
+    every optimizer buffer that mirrors a parameter leaf carries the same
+    sharding (path-suffix matched — scalars/per-tensor stats replicate)."""
+    from .parallel.mesh import (
+        opt_state_shardings,
+        param_shardings,
+        replicated,
+    )
 
-    p_sh = param_shardings(state.params, mesh)
-
-    # params carry TP shardings; optimizer buffers are replicated for now
-    # (XLA re-shards them on first use)
     state = TrainState(
-        params=jax.device_put(state.params, p_sh),
-        opt_state=jax.device_put(state.opt_state,
-                                 replicated(state.opt_state, mesh)),
+        params=jax.device_put(state.params,
+                              param_shardings(state.params, mesh)),
+        opt_state=jax.device_put(
+            state.opt_state,
+            opt_state_shardings(state.opt_state, state.params, mesh)),
         model_state=jax.device_put(state.model_state,
                                    replicated(state.model_state, mesh)),
         step=jax.device_put(state.step),
