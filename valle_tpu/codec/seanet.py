@@ -102,10 +102,17 @@ def init_convtr1d(rng, cin: int, cout: int, k: int):
 
 def sconvtr1d(p, x: jnp.ndarray, *, stride: int, causal: bool = True,
               trim_right_ratio: float = 1.0) -> jnp.ndarray:
-    """Streaming-safe transposed conv (encodec SConvTranspose1d)."""
+    """Streaming-safe transposed conv (encodec SConvTranspose1d).
+
+    torch's ConvTranspose1d is the adjoint of its (cross-correlation)
+    Conv1d, i.e. a fractionally-strided conv with the kernel FLIPPED along
+    the spatial dim; ``lax.conv_transpose`` with ``transpose_kernel=False``
+    does not flip, so flip explicitly to match
+    (pinned by tests/test_codec_torch_parity.py).
+    """
     k = p["w"].shape[0]
     y = jax.lax.conv_transpose(
-        x, p["w"], strides=(stride,), padding="VALID",
+        x, jnp.flip(p["w"], axis=0), strides=(stride,), padding="VALID",
         dimension_numbers=("NTC", "TOI", "NTC"))
     y = y + p["b"]
     padding_total = k - stride
