@@ -148,6 +148,104 @@ def test_nar_loss_parity_mode0(model_name, share_embedding):
                                rtol=1e-4, atol=1e-5)
 
 
+class _StubRng:
+    """Replaces the reference model's ``self.rng`` (random.Random) so the
+    host-side draws — nar_stage (valle.py:891-895), prefix-mode-2 segment
+    starts (valle.py:370) — take known values we can inject into our
+    forward."""
+
+    def __init__(self, stage, starts=()):
+        self.stage = stage
+        self.starts = list(starts)
+        self.i = 0
+
+    def choices(self, population, weights=None, k=1):
+        return [self.stage]
+
+    def randint(self, a, b):
+        v = self.starts[self.i]
+        self.i += 1
+        assert a <= v <= b, (a, v, b)
+        return v
+
+
+@pytest.mark.parametrize("model_name", ["valle", "vallf"])
+def test_nar_loss_parity_mode1(model_name, monkeypatch):
+    """prefix-mode 1 (the published-model default): leading same-utterance
+    prefix, all 8 quantizers summed in the prompt region, loss rescaled by
+    total/(total - prefix*B) (reference valle.py:346-362,935-943)."""
+    ref, cfg, params, state = build_pair(model_name=model_name,
+                                         prefix_mode=1)
+    x, x_lens, y, y_lens = make_inputs(seed=5)
+    forced_prefix = 5  # in [int_low, 2*int_low) = [4, 8) for min_len 19
+    ref.rng = _StubRng(stage=4)
+
+    real_randint = torch.randint
+
+    def fake_randint(low, high, size=None, **kw):
+        if size == ():  # the prefix_len draw (valle.py:349)
+            assert low <= forced_prefix < high, (low, forced_prefix, high)
+            return torch.tensor(forced_prefix)
+        return real_randint(low, high, size, **kw)
+
+    monkeypatch.setattr(torch, "randint", fake_randint)
+    with torch.no_grad():
+        _, ref_loss, ref_metrics = ref(x, x_lens, y.clone(), y_lens,
+                                       train_stage=2)
+    monkeypatch.undo()
+
+    batch = {
+        "text": jnp.asarray(x.numpy()),
+        "text_lens": jnp.asarray(x_lens.numpy()),
+        "audio": jnp.asarray(y.numpy()),
+        "audio_lens": jnp.asarray(y_lens.numpy()),
+    }
+    fwd = jax.jit(functools.partial(
+        valle_forward, cfg=cfg, train_stage=2, deterministic=True))
+    loss, metrics, _ = fwd(params, batch=batch, nar_stage=jnp.int32(4),
+                           nar_prefix_len=jnp.int32(forced_prefix),
+                           state=state)
+    np.testing.assert_allclose(float(loss), float(ref_loss),
+                               rtol=2e-4, atol=2e-3)
+    ref_acc = float(ref_metrics["NarTop10Accuracy"]) / float(y_lens.sum())
+    np.testing.assert_allclose(float(metrics["NarTop10Accuracy"]), ref_acc,
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("model_name", ["valle", "vallf"])
+@pytest.mark.parametrize("starts", [(0, 0), (2, 7), (21, 15)])
+def test_nar_loss_parity_mode2(model_name, starts, monkeypatch):
+    """prefix-mode 2: random interior segment as acoustic prompt; the
+    source region of the target stage is loss-masked (reference
+    valle.py:363-377)."""
+    ref, cfg, params, state = build_pair(model_name=model_name,
+                                         prefix_mode=2)
+    x, x_lens, y, y_lens = make_inputs(seed=6)
+    # prefix_len = min(225, 0.25 * min_len) = 4; starts must be within
+    # [0, y_lens[b] - prefix_len] = [0, 21] / [0, 15]
+    ref.rng = _StubRng(stage=2, starts=starts)
+    with torch.no_grad():
+        _, ref_loss, ref_metrics = ref(x, x_lens, y.clone(), y_lens,
+                                       train_stage=2)
+
+    batch = {
+        "text": jnp.asarray(x.numpy()),
+        "text_lens": jnp.asarray(x_lens.numpy()),
+        "audio": jnp.asarray(y.numpy()),
+        "audio_lens": jnp.asarray(y_lens.numpy()),
+    }
+    fwd = jax.jit(functools.partial(
+        valle_forward, cfg=cfg, train_stage=2, deterministic=True))
+    loss, metrics, _ = fwd(
+        params, batch=batch, nar_stage=jnp.int32(2),
+        nar_prefix_starts=jnp.asarray(starts, jnp.int32), state=state)
+    np.testing.assert_allclose(float(loss), float(ref_loss),
+                               rtol=2e-4, atol=2e-3)
+    ref_acc = float(ref_metrics["NarTop10Accuracy"]) / float(y_lens.sum())
+    np.testing.assert_allclose(float(metrics["NarTop10Accuracy"]), ref_acc,
+                               rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("model_name", ["valle", "vallf"])
 def test_nar_loss_parity_mode4(model_name):
     """prefix-mode 4: prompts supplied by the data layer."""

@@ -298,12 +298,18 @@ def valle_forward(
     compute_dtype=jnp.float32,
     state: Optional[Dict] = None,
     nar_stage: Optional[jnp.ndarray] = None,
+    nar_prefix_len: Optional[jnp.ndarray] = None,
+    nar_prefix_starts: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict]:
     """Training forward: returns (loss_sum, metrics, new_state).
 
     batch keys: ``text`` (B,S) int32, ``text_lens`` (B,), ``audio`` (B,T,Q)
     int32, ``audio_lens`` (B,); for prefix_mode 4 also ``prompt_codes``
     (B,P,Q) and ``prompt_lens`` (B,) with equal entries.
+
+    ``nar_stage`` / ``nar_prefix_len`` (prefix mode 1) /
+    ``nar_prefix_starts`` (B,; prefix mode 2) override the per-step random
+    draws — used by parity tests to pin the reference's host-side rng.
 
     metrics: ArTop10Accuracy / NarTop10Accuracy are fractions in [0,1]
     (multiply by frames to accumulate, as the trainer does — reference
@@ -313,7 +319,9 @@ def valle_forward(
         return _vallf_forward(
             params, cfg, batch, train_stage=train_stage, rng=rng,
             deterministic=deterministic, compute_dtype=compute_dtype,
-            state=state, nar_stage=nar_stage)
+            state=state, nar_stage=nar_stage,
+            nar_prefix_len=nar_prefix_len,
+            nar_prefix_starts=nar_prefix_starts)
 
     state = state or {"ar": {}, "nar": {}}
     new_state = jax.tree_util.tree_map(lambda x: x, state)
@@ -387,7 +395,9 @@ def valle_forward(
 
         nar_loss, nar_acc, nar_frames = _nar_branch(
             params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
-            nar_stage, batch, rngs, training, deterministic, compute_dtype)
+            nar_stage, batch, rngs, training, deterministic, compute_dtype,
+            prefix_len_override=nar_prefix_len,
+            prefix_starts_override=nar_prefix_starts)
         total_loss = total_loss + nar_loss
         metrics["NarTop10Accuracy"] = nar_acc
         metrics["nar_loss"] = nar_loss
@@ -417,7 +427,8 @@ def _nar_embedding_sum(embs_w, nar_y, codes, nar_stage, region_all_mask,
 
 def _nar_branch(params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
                 nar_stage, batch, rngs, training, deterministic,
-                compute_dtype):
+                compute_dtype, prefix_len_override=None,
+                prefix_starts_override=None):
     """NAR loss for VALLE (decoder-only). Returns (loss, acc, frames)."""
     B, T = nar_y.shape
     S = xn.shape[1]
@@ -446,7 +457,9 @@ def _nar_branch(params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
         # prefix at beginning of the SAME utterance: random length in
         # [min_len/4, min_len/2), capped at 225 (reference valle.py:346-362)
         int_low = (0.25 * jnp.min(y_lens)).astype(jnp.int32)
-        if rngs[6] is not None:
+        if prefix_len_override is not None:
+            prefix_len = jnp.asarray(prefix_len_override, jnp.int32)
+        elif rngs[6] is not None:
             prefix_len = jax.random.randint(
                 rngs[6], (), int_low, jnp.maximum(int_low * 2, int_low + 1))
         else:
@@ -472,7 +485,9 @@ def _nar_branch(params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
             prefix_len = jnp.minimum(
                 P, (0.25 * jnp.min(y_lens)).astype(jnp.int32))
             # random interior segment per sample (reference valle.py:366-377)
-            if rngs[6] is not None:
+            if prefix_starts_override is not None:
+                starts = jnp.asarray(prefix_starts_override, jnp.int32)
+            elif rngs[6] is not None:
                 starts = jax.random.randint(
                     rngs[6], (B,), 0,
                     jnp.maximum(y_lens - prefix_len + 1, 1))
@@ -552,7 +567,8 @@ def _nar_branch(params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
 
 
 def _vallf_forward(params, cfg, batch, *, train_stage, rng, deterministic,
-                   compute_dtype, state, nar_stage=None):
+                   compute_dtype, state, nar_stage=None,
+                   nar_prefix_len=None, nar_prefix_starts=None):
     """VALL-F: text encodes as cross-attention memory (reference valle.py:395)."""
     state = state or {"ar": {}, "nar": {}}
     new_state = jax.tree_util.tree_map(lambda x: x, state)
@@ -617,7 +633,9 @@ def _vallf_forward(params, cfg, batch, *, train_stage, rng, deterministic,
             rng=rngs[4], training=training, dtype=compute_dtype)
         nar_loss, nar_acc, _ = _nar_branch_vallf(
             params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
-            nar_stage, batch, rngs, training, deterministic, compute_dtype)
+            nar_stage, batch, rngs, training, deterministic, compute_dtype,
+            prefix_len_override=nar_prefix_len,
+            prefix_starts_override=nar_prefix_starts)
         total_loss = total_loss + nar_loss
         metrics["NarTop10Accuracy"] = nar_acc
         metrics["nar_loss"] = nar_loss
@@ -630,7 +648,8 @@ def _vallf_forward(params, cfg, batch, *, train_stage, rng, deterministic,
 
 def _nar_branch_vallf(params, cfg, xn, x_lens, nar_y, codes, y_lens,
                       y_mask_int, nar_stage, batch, rngs, training,
-                      deterministic, compute_dtype):
+                      deterministic, compute_dtype,
+                      prefix_len_override=None, prefix_starts_override=None):
     """VALL-F NAR: same prompt logic, decoder cross-attends to text."""
     B, T = nar_y.shape
     S = xn.shape[1]
@@ -657,7 +676,9 @@ def _nar_branch_vallf(params, cfg, xn, x_lens, nar_y, codes, y_lens,
         prefix_len = jnp.int32(0)
     elif cfg.prefix_mode == 1:
         int_low = (0.25 * jnp.min(y_lens)).astype(jnp.int32)
-        if rngs[6] is not None:
+        if prefix_len_override is not None:
+            prefix_len = jnp.asarray(prefix_len_override, jnp.int32)
+        elif rngs[6] is not None:
             prefix_len = jax.random.randint(
                 rngs[6], (), int_low, jnp.maximum(int_low * 2, int_low + 1))
         else:
@@ -679,7 +700,9 @@ def _nar_branch_vallf(params, cfg, xn, x_lens, nar_y, codes, y_lens,
             P = cfg.max_prefix_len
             prefix_len = jnp.minimum(
                 P, (0.25 * jnp.min(y_lens)).astype(jnp.int32))
-            if rngs[6] is not None:
+            if prefix_starts_override is not None:
+                starts = jnp.asarray(prefix_starts_override, jnp.int32)
+            elif rngs[6] is not None:
                 starts = jax.random.randint(
                     rngs[6], (B,), 0, jnp.maximum(y_lens - prefix_len + 1, 1))
             else:
