@@ -155,6 +155,43 @@ def test_bucketing_sampler_budget_and_static_shapes(tmp_path):
     assert len(shapes) <= 6  # bounded compiled-shape set
 
 
+def test_sampler_fast_forward_resume(tmp_path):
+    """Mid-epoch resume skips already-consumed batches (reference
+    trainer.py:346-364 restores lhotse sampler state)."""
+    cs = _make_cutset(tmp_path, n=40)
+
+    def fresh():
+        s = DynamicBucketingSampler(cs, max_duration=6.0, num_buckets=2,
+                                    shuffle=True, seed=7)
+        s.set_epoch(3)
+        return s
+
+    full = [[c.id for c in b.cuts] for b in fresh()]
+    assert len(full) > 4
+
+    # consume 3 batches, snapshot, resume in a NEW sampler
+    s1 = fresh()
+    it = iter(s1)
+    for _ in range(3):
+        next(it)
+    sd = s1.state_dict()
+    assert sd["consumed"] == 3 and sd["epoch"] == 3
+
+    s2 = fresh()
+    s2.load_state_dict(sd)
+    s2.set_epoch(3)  # trainer calls set_epoch after restore
+    resumed = [[c.id for c in b.cuts] for b in s2]
+    assert resumed == full[3:]  # not a replay from the top
+
+    # a later epoch starts from the beginning again
+    s2.set_epoch(4)
+    epoch4 = [[c.id for c in b.cuts] for b in s2]
+    assert len(epoch4) == len([1 for _ in fresh()]) or len(epoch4) > 0
+    s3 = fresh()
+    s3.set_epoch(4)
+    assert epoch4 == [[c.id for c in b.cuts] for b in s3]
+
+
 def test_sampler_dp_sharding(tmp_path):
     cs = _make_cutset(tmp_path, n=40)
     ids0, ids1 = set(), set()

@@ -119,6 +119,47 @@ def test_trainer_cli_dp_tp_sharding(tokenized_dir, tmp_path, monkeypatch):
     assert int(state.step) == 2
 
 
+def test_trainer_start_batch_fast_forwards_sampler(tokenized_dir, tmp_path,
+                                                   monkeypatch):
+    """--start-batch resume continues mid-epoch instead of replaying the
+    epoch from the top (reference trainer.py:346-364)."""
+    from valle_tpu.bin import trainer
+
+    seen = []
+    orig = trainer._model_batch
+
+    def spy(batch, accum, dp=1):
+        out = orig(batch, accum, dp)
+        seen.append(np.asarray(out["text"]))
+        return out
+
+    monkeypatch.setattr(trainer, "_model_batch", spy)
+
+    args = _args(tokenized_dir, tmp_path / "exp_resume", tp=1)
+    args.accumulate_grad_steps = 1
+    args.max_steps_per_epoch = 3
+    args.save_every_n = 2
+    args.valid_interval = 100
+    args.max_duration = 1.2  # small budget -> several batches per epoch
+    trainer.run(args)
+    first_run = list(seen)
+    assert len(first_run) >= 3
+
+    seen.clear()
+    args2 = _args(tokenized_dir, tmp_path / "exp_resume", tp=1)
+    args2.accumulate_grad_steps = 1
+    args2.max_steps_per_epoch = 1
+    args2.valid_interval = 100
+    args2.max_duration = 1.2
+    args2.start_batch = 2  # resume from checkpoint-2 (after 2 batches)
+    trainer.run(args2)
+    assert seen, "resumed run consumed no batch"
+    # the first resumed batch is the epoch's 3rd batch, not its 1st
+    np.testing.assert_array_equal(seen[0], first_run[2])
+    assert (seen[0].shape != first_run[0].shape
+            or not np.array_equal(seen[0], first_run[0]))
+
+
 def test_trainer_cli_rejects_bad_tp(tokenized_dir, tmp_path):
     from valle_tpu.bin import trainer
 

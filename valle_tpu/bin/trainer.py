@@ -178,12 +178,15 @@ def _place_batch(mb, mesh, accum: int):
         mb, batch_shardings(mb, mesh, leading_accum=accum > 1))
 
 
-def load_checkpoint_if_available(params, exp_dir: Path, model, opt):
+def load_checkpoint_if_available(params, exp_dir: Path, model,
+                                 opt_state_template=None):
     """Resume logic incl. stage-switch (reference trainer.py:331-483).
 
     Returns (train_state_items or None, meta). When the saved train stage
     differs from the requested one, optimizer state is dropped and the
-    per-stage best losses are reset (reference :383-416).
+    per-stage best losses are reset (reference :383-416). On a same-stage
+    resume the restored opt_state (raw dicts from orbax) is rebuilt into
+    the optax state structure via ``opt_state_template``.
     """
     path = None
     if params.start_batch > 0:
@@ -205,6 +208,9 @@ def load_checkpoint_if_available(params, exp_dir: Path, model, opt):
         for k in ("best_train_loss", "best_valid_loss", "batch_idx_train"):
             if k in run_params:
                 params[k] = run_params[k]
+        if "opt_state" in items and opt_state_template is not None:
+            items["opt_state"] = ckpt_lib.restore_tree(
+                opt_state_template, items["opt_state"])
     return items, meta
 
 
@@ -337,7 +343,8 @@ def run(args) -> None:
                        step=jnp.zeros((), jnp.int32))
 
     # resume
-    items, meta = load_checkpoint_if_available(params, exp_dir, model, opt)
+    items, meta = load_checkpoint_if_available(
+        params, exp_dir, model, opt_state_template=opt_state)
     sampler_state = None
     model_avg = None
     if items is not None:

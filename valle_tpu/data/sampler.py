@@ -71,13 +71,20 @@ class DynamicBucketingSampler:
         self.epoch = 0
         self.world_size = world_size
         self.rank = rank
+        # intra-epoch resume (reference trainer.py:346-364 restores lhotse
+        # sampler state so the dataloader fast-forwards): batches yielded
+        # this epoch so far / batches to skip on the next iteration
+        self._consumed = 0
+        self._resume_consumed = 0
 
         durs = sorted(c.duration for c in self.cuts)
         qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
         self.boundaries = [durs[int(q * (len(durs) - 1))] for q in qs]
 
     def set_epoch(self, epoch: int) -> None:
-        self.epoch = epoch
+        if epoch != self.epoch:
+            self._resume_consumed = 0  # fast-forward applies only to the
+            self.epoch = epoch         # epoch the state was saved in
 
     def _bucket_of(self, duration: float) -> int:
         for i, b in enumerate(self.boundaries):
@@ -86,10 +93,13 @@ class DynamicBucketingSampler:
         return len(self.boundaries)
 
     def state_dict(self) -> dict:
-        return {"epoch": self.epoch, "seed": self.seed}
+        return {"epoch": self.epoch, "seed": self.seed,
+                "consumed": self._consumed}
 
     def load_state_dict(self, sd: dict) -> None:
         self.epoch = sd.get("epoch", 0)
+        self.seed = sd.get("seed", self.seed)
+        self._resume_consumed = sd.get("consumed", 0)
 
     def __iter__(self) -> Iterator[Batch]:
         rng = random.Random(self.seed + self.epoch)
@@ -116,9 +126,15 @@ class DynamicBucketingSampler:
                 batches.append(self._finalize(bi, cur))
         if self.shuffle:
             rng.shuffle(batches)
-        # data-parallel sharding across processes (lhotse-style modulo)
+        # data-parallel sharding across processes (lhotse-style modulo),
+        # skipping already-consumed batches after a mid-epoch resume
+        skip, self._resume_consumed = self._resume_consumed, 0
+        self._consumed = 0
         for i, b in enumerate(batches):
             if i % self.world_size == self.rank:
+                self._consumed += 1
+                if self._consumed <= skip:
+                    continue
                 yield b
 
     def _finalize(self, bucket_idx: int, cuts: List[Cut]) -> Batch:

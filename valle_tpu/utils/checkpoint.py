@@ -277,6 +277,36 @@ def load_checkpoint(path: str, template=None):
     return items, meta
 
 
+def _canon_path(path) -> tuple:
+    out = []
+    for e in path:
+        k = getattr(e, "key", None)
+        if k is None:
+            k = getattr(e, "name", None)
+        if k is None:
+            k = getattr(e, "idx", None)
+        out.append(str(k))
+    return tuple(out)
+
+
+def restore_tree(template, raw):
+    """Rebuild a ``template``-structured pytree from an orbax-restored raw
+    tree (which comes back as plain dicts/lists, losing namedtuple types
+    such as optax optimizer states). Leaves are matched by key path —
+    namedtuple fields vs dict keys vs sequence indices all canonicalize to
+    the same strings — so leaf ORDER differences between the saved dict
+    (sorted keys) and the template (field order) cannot mis-assign leaves.
+    """
+    flat_raw = jax.tree_util.tree_flatten_with_path(raw)[0]
+    raw_map = {_canon_path(p): leaf for p, leaf in flat_raw}
+
+    def pick(path, t_leaf):
+        leaf = raw_map[_canon_path(path)]
+        return jnp.asarray(leaf)
+
+    return jax.tree_util.tree_map_with_path(pick, template)
+
+
 def remove_checkpoints(out_dir: str, keep_last_k: int) -> None:
     """Prune step checkpoints, keeping the newest k (trainer.py:716-738)."""
     if keep_last_k <= 0:
