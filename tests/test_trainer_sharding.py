@@ -141,6 +141,7 @@ def test_trainer_start_batch_fast_forwards_sampler(tokenized_dir, tmp_path,
     args.save_every_n = 2
     args.valid_interval = 100
     args.max_duration = 1.2  # small budget -> several batches per epoch
+    args.inf_check = True    # exercise the finite-loss/grad_norm path
     trainer.run(args)
     first_run = list(seen)
     assert len(first_run) >= 3

@@ -455,6 +455,45 @@ def visualize_one_batch(args, model, state, valid_dl, exp_dir, epoch,
     logging.info(f"visualizations written to {out_dir}")
 
 
+def _diagnose_nonfinite_step(args, model, prev_state, mb, epoch, rng,
+                             compute_dtype):
+    """Name the first non-finite op/leaf (reference --inf-check hooks,
+    trainer.py:177-180 — done post-hoc with checkify, zero steady cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.inf_check import diagnose_nonfinite
+
+    if prev_state is None:
+        return "(rerun with --inf-check true for a per-op diagnosis)"
+    from ..models import ValleModel
+    from ..models.valle import valle_forward
+
+    if isinstance(model, ValleModel):
+        forward_fn = valle_forward
+    else:
+        from ..models.transformer import transformer_tts_forward
+
+        forward_fn = transformer_tts_forward
+
+    micro = mb
+    if args.accumulate_grad_steps > 1:  # diagnose the first microbatch
+        micro = {k: v[0] for k, v in mb.items()}
+
+    def loss_fn(p, batch):
+        loss, _, _ = forward_fn(
+            p, model.cfg, batch, train_stage=args.train_stage,
+            rng=jax.random.fold_in(rng, prev_state.step),
+            deterministic=False, compute_dtype=compute_dtype,
+            state=prev_state.model_state)
+        return loss
+
+    try:
+        return diagnose_nonfinite(loss_fn, prev_state.params, micro)
+    except Exception as e:  # never mask the original failure
+        return f"(diagnosis failed: {e})"
+
+
 def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
                     compute_dtype, tb_writer, rng, epoch, exp_dir,
                     model_avg, mesh=None):
@@ -479,6 +518,7 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
         mb = _model_batch(batch, args.accumulate_grad_steps, dp=dp)
         if mesh is not None:
             mb = _place_batch(mb, mesh, args.accumulate_grad_steps)
+        prev_state = state if args.inf_check else None
         try:
             state, metrics = step_fn(state, mb, jnp.int32(epoch), rng)
         except Exception:
@@ -489,12 +529,17 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
 
         loss = float(metrics["loss"])
         frames = float(metrics["frames"])
-        if args.inf_check and not np.isfinite(loss):
+        if args.inf_check and not (np.isfinite(loss) and
+                                   np.isfinite(float(metrics["grad_norm"]))):
             fname = exp_dir / f"batch-{uuid.uuid4()}.npz"
-            np.savez(fname, **{k: v for k, v in mb.items()})
+            np.savez(fname, **{k: np.asarray(v) for k, v in mb.items()})
+            report = _diagnose_nonfinite_step(args, model, prev_state, mb,
+                                              epoch, rng, compute_dtype)
             raise FloatingPointError(
-                f"non-finite loss {loss} at batch {params.batch_idx_train}; "
-                f"batch saved to {fname}")
+                f"non-finite loss {loss} / grad_norm "
+                f"{float(metrics['grad_norm'])} at batch "
+                f"{params.batch_idx_train}; batch saved to {fname}\n"
+                f"{report}")
 
         cur = MetricsTracker()
         cur["loss"] = loss
@@ -528,6 +573,9 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
                 f"tot_loss[{tot_loss['loss'] / max(tot_loss['frames'], 1):.4f}]"
                 f", lr: {lr:.2e}")
             if tb_writer is not None:
+                tb_writer.add_scalar("train/grad_norm",
+                                     float(metrics["grad_norm"]),
+                                     params.batch_idx_train)
                 tb_writer.add_scalar("train/learning_rate", lr,
                                      params.batch_idx_train)
                 tb_writer.add_scalar("train/current_loss",

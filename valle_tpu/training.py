@@ -165,6 +165,9 @@ def make_train_step(
             _frames_weighted(metrics))
         out["loss"] = loss
         out["lr"] = lr
+        # observability + inf/nan sentinel: non-finite anywhere in the
+        # gradient tree makes grad_norm non-finite (--inf-check reads this)
+        out["grad_norm"] = optax.global_norm(grads)
         return TrainState(params=params, opt_state=opt_state,
                           model_state=new_model_state,
                           step=state.step + 1), out
