@@ -70,6 +70,7 @@ def _args(tokenized_dir, exp_dir, tp):
         "--max-steps-per-epoch", "2",
         "--accumulate-grad-steps", "2",
         "--tensorboard", "false", "--oom-check", "false",
+        "--visualize", "true",
     ])
 
 
@@ -117,6 +118,11 @@ def test_trainer_cli_dp_tp_sharding(tokenized_dir, tmp_path, monkeypatch):
 
     # training actually advanced
     assert int(state.step) == 2
+
+    # --visualize rendered real model outputs at validation
+    pngs = list((tmp_path / "exp").glob("eval_epoch*/**/*.png")) + \
+        list((tmp_path / "exp").glob("eval_epoch*/*.png"))
+    assert pngs, "no visualization written"
 
 
 def test_trainer_start_batch_fast_forwards_sampler(tokenized_dir, tmp_path,

@@ -439,19 +439,29 @@ def scan_largest_batches_for_compile(args, cfg, step_fn, state, train_dl,
 
 def visualize_one_batch(args, model, state, valid_dl, exp_dir, epoch,
                         compute_dtype):
-    """Render eval heatmaps (reference trainer.py:575-583 + visualizer)."""
-    import jax.numpy as jnp
+    """Render eval heatmaps (reference trainer.py:575-583 + visualizer):
+    the model's actual encoder output and decoder prediction/codes."""
+    import jax
 
+    from ..models import ValleModel
     from ..models.visualizer import visualize
 
     out_dir = exp_dir / f"eval_epoch{epoch}"
     out_dir.mkdir(parents=True, exist_ok=True)
     batch = next(iter(valid_dl))
     mb = _model_batch(batch, accum=1)
-    # encoder output proxy: text embeddings; decoder proxy: input codes
-    text_emb = np.asarray(jnp.take(
-        state.params["ar"]["text_emb"]["weight"], mb["text"], axis=0))
-    visualize((text_emb, mb["audio"][..., 0:1]), batch, str(out_dir))
+    if isinstance(model, ValleModel):
+        from ..models.valle import valle_visualize_outputs
+
+        enc, dec = jax.jit(valle_visualize_outputs, static_argnames="cfg")(
+            state.params, model.cfg, mb, state.model_state)
+    else:
+        from ..models.transformer import transformer_visualize_outputs
+
+        enc, dec = jax.jit(
+            transformer_visualize_outputs, static_argnames="cfg")(
+                state.params, model.cfg, mb, state.model_state)
+    visualize((np.asarray(enc), np.asarray(dec)), batch, str(out_dir))
     logging.info(f"visualizations written to {out_dir}")
 
 

@@ -313,7 +313,20 @@ def transformer_tts_forward(
         "stop_accuracy": stop_acc,
         "frames": jnp.sum(y_lens).astype(jnp.float32),
     }
+    if kw.get("collect_outputs"):
+        # for --visualize: real encoder output + predicted mel (reference
+        # returns these as `predicts`, transformer.py:292-296)
+        metrics["encoder_out"] = x.astype(jnp.float32)
+        metrics["predict"] = predict
     return mse + 100.0 * stop_loss, metrics, new_state
+
+
+def transformer_visualize_outputs(params, cfg, batch, state=None):
+    """(encoder output, predicted mel) for the trainer's --visualize."""
+    _, m, _ = transformer_tts_forward(
+        params, cfg, batch, deterministic=True, state=state,
+        collect_outputs=True)
+    return m["encoder_out"], m["predict"]
 
 
 # ---------------------------------------------------------------------------

@@ -566,6 +566,22 @@ def _nar_branch(params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
     return nar_loss, nar_acc, total_length
 
 
+def valle_visualize_outputs(params, cfg, batch, state=None):
+    """(encoder output, codes) for the trainer's --visualize.
+
+    Matches what the reference feeds its visualizer: the NAR text-frontend
+    output (embedding + prenet + positional encoding, valle.py:897-899) as
+    `predicts[0]` and the codes as `predicts[1]` (valle.py:954/962 returns
+    ``(x, codes)``).
+    """
+    state = state or {"ar": {}, "nar": {}}
+    branch = "nar" if cfg.num_quantizers > 1 else "ar"
+    xn, _ = _text_frontend(
+        params[branch], state.get(branch, {}), cfg, batch["text"],
+        branch=branch, rng=None, training=False, dtype=jnp.float32)
+    return xn, batch["audio"]
+
+
 def _vallf_forward(params, cfg, batch, *, train_stage, rng, deterministic,
                    compute_dtype, state, nar_stage=None,
                    nar_prefix_len=None, nar_prefix_starts=None):
