@@ -382,13 +382,24 @@ def transformer_tts_inference(
         step_bias = jnp.where(kk <= t, 0.0, M.NEG_INF).astype(jnp.float32)[
             :, None, None, :]
 
-        def body(hh, inp):
-            lp, lck, lcv, lmk, lmv = inp
+        # layer loop as fori_loop with the caches as aliasable CARRIES —
+        # scan xs/ys double-buffer and copy the full (L, ...) cache every
+        # frame (same fix as encoder_stack_decode_step, see its PERF NOTE)
+        def body(i, carry):
+            hh, ck_all, cv_all = carry
+            lp = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, i, 0,
+                                                       keepdims=False),
+                params["decoder"]["layers"])
+            lmk = jax.lax.dynamic_index_in_dim(mem_k, i, 0, keepdims=False)
+            lmv = jax.lax.dynamic_index_in_dim(mem_v, i, 0, keepdims=False)
             hin = _apply_norm(lp["norm1"], hh) if cfg.norm_first else hh
             sa, lck, lcv = tfm.mha_decode_step(
-                lp["self_attn"], hin, lck, lcv,
+                lp["self_attn"], hin, ck_all[i], cv_all[i],
                 jnp.full((B,), t, jnp.int32), step_bias, cfg.nhead,
                 dtype=dtype)
+            ck_all = jax.lax.dynamic_update_index_in_dim(ck_all, lck, i, 0)
+            cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, lcv, i, 0)
             hh = hh + sa if cfg.norm_first else _apply_norm(
                 lp["norm1"], hh + sa)
             hin = _apply_norm(lp["norm2"], hh) if cfg.norm_first else hh
@@ -402,10 +413,9 @@ def transformer_tts_inference(
             f = tfm.linear(lp["ffn"]["lin2"], f, dtype)
             hh = hh + f if cfg.norm_first else _apply_norm(
                 lp["norm3"], hh + f)
-            return hh, (lck, lcv)
+            return (hh, ck_all, cv_all)
 
-        h, (ck, cv) = jax.lax.scan(
-            body, h, (params["decoder"]["layers"], ck, cv, mem_k, mem_v))
+        h, ck, cv = jax.lax.fori_loop(0, L, body, (h, ck, cv))
         if "final_norm" in params["decoder"]:
             h = _apply_norm(params["decoder"]["final_norm"], h)
 
