@@ -1,17 +1,31 @@
 #!/usr/bin/env bash
 # LJSpeech recipe (debug-scale; parity with reference egs/ljspeech/prepare.sh).
-# Expects the corpus already downloaded/extracted at $corpus_dir
-# (https://keithito.com/LJ-Speech-Dataset/ LJSpeech-1.1).
 set -eou pipefail
 
-stage=1
-stop_stage=3
-corpus_dir=${corpus_dir:-download/LJSpeech-1.1}
+stage=${stage:-0}
+stop_stage=${stop_stage:-3}
+dl_dir=${dl_dir:-download}
+corpus_dir=${corpus_dir:-$dl_dir/LJSpeech-1.1}
 manifests=data/manifests
 tokenized=data/tokenized
 
 cd "$(dirname "$0")"
 export PYTHONPATH="$(pwd)/../..:${PYTHONPATH:-}"
+
+if [ $stage -le 0 ] && [ $stop_stage -ge 0 ]; then
+  echo "Stage 0: download LJSpeech (reference prepare.sh stage 0)"
+  # pre-downloaded? symlink it:  ln -sfv /path/to/LJSpeech-1.1 $dl_dir/
+  if [ ! -d "$corpus_dir" ]; then
+    mkdir -p "$dl_dir"
+    url=https://data.keithito.com/data/speech/LJSpeech-1.1.tar.bz2
+    if command -v wget >/dev/null; then
+      wget -c -O "$dl_dir/LJSpeech-1.1.tar.bz2" "$url"
+    else
+      curl -L -C - -o "$dl_dir/LJSpeech-1.1.tar.bz2" "$url"
+    fi
+    tar -xjf "$dl_dir/LJSpeech-1.1.tar.bz2" -C "$dl_dir"
+  fi
+fi
 
 if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
   echo "Stage 1: prepare manifests (12500/200/400 split)"
