@@ -303,6 +303,206 @@ def random_clamp(x, rng, min_val=None, max_val=None, prob: float = 0.5,
 
 
 # ---------------------------------------------------------------------------
+# Memory-efficient softmax (reference scaling.py:282-317)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def softmax(x, axis: int = -1):
+    """Softmax whose backward saves only the OUTPUT and runs in fp32
+    (reference SoftmaxFunction: more accurate half-precision training and
+    half the activation memory of saving the input)."""
+    return jax.nn.softmax(x, axis=axis)
+
+
+def _softmax_fwd(x, axis):
+    ans = jax.nn.softmax(x.astype(jnp.float32), axis=axis).astype(x.dtype)
+    return ans, ans
+
+
+def _softmax_bwd(axis, ans, g):
+    ansf = ans.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    xg = ansf * gf
+    xg = xg - ansf * xg.sum(axis=axis, keepdims=True)
+    return (xg.astype(g.dtype),)
+
+
+softmax.defvjp(_softmax_fwd, _softmax_bwd)
+
+
+# ---------------------------------------------------------------------------
+# RandomGrad (reference scaling.py:222-280)
+# ---------------------------------------------------------------------------
+
+
+def random_cast_to_half(x, rng, *, min_abs: float = 5.0e-06,
+                        dtype=jnp.float16):
+    """Expectation-preserving randomized cast to a 16-bit float: elements
+    below ``min_abs`` become +-min_abs with probability |x|/min_abs, else 0
+    (reference scaling.py:222-235)."""
+    x_abs = jnp.abs(x)
+    too_small = x_abs < min_abs
+    rand_val = (min_abs * jnp.sign(x)
+                * (jax.random.uniform(rng, x.shape) * min_abs < x_abs))
+    return jnp.where(too_small, rand_val, x).astype(dtype)
+
+
+@jax.custom_vjp
+def _random_grad_core(x, rng, min_abs):
+    return x
+
+
+def _rg_fwd(x, rng, min_abs):
+    return x, (rng, min_abs)
+
+
+def _rg_bwd(res, g):
+    rng, min_abs = res
+    if g.dtype in (jnp.float16, jnp.bfloat16):
+        g = random_cast_to_half(
+            g.astype(jnp.float32), rng, min_abs=float(min_abs),
+            dtype=g.dtype)
+    return (g, None, None)
+
+
+_random_grad_core.defvjp(_rg_fwd, _rg_bwd)
+
+
+def random_grad(x, rng=None, *, min_abs: float = 5.0e-06,
+                training: bool = True):
+    """Identity forward; in backward, removes tiny 16-bit grads with an
+    expectation-preserving randomization (reference RandomGrad,
+    scaling.py:237-280 — an amp-roundoff mitigation)."""
+    if not training or rng is None:
+        return x
+    return _random_grad_core(x, rng, jnp.float32(min_abs))
+
+
+# ---------------------------------------------------------------------------
+# MaxEig (reference scaling.py:1002-1153)
+# ---------------------------------------------------------------------------
+
+
+def init_max_eig(num_channels: int):
+    """State: power-iteration direction estimate + application probability
+    (the reference's max_eig_direction buffer and cur_prob)."""
+    d = jnp.arange(num_channels, dtype=jnp.float32)
+    return {"direction": d / jnp.linalg.norm(d),
+            "cur_prob": jnp.float32(1.0)}
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _max_eig_core(x, coeffs, direction, gate, channel_dim, scale):
+    return x
+
+
+def _me_fwd(x, coeffs, direction, gate, channel_dim, scale):
+    return x, (jax.lax.stop_gradient(x), coeffs, direction, gate)
+
+
+def _me_bwd(channel_dim, scale, res, g):
+    x_orig, coeffs, direction, gate = res
+    cd = channel_dim if channel_dim >= 0 else channel_dim + x_orig.ndim
+    C = x_orig.shape[cd]
+
+    def variance_proportion(xd):
+        xm = jnp.moveaxis(xd, cd, -1).reshape(-1, C)
+        xm = xm - xm.mean(axis=0)
+        x_var = jnp.mean(xm ** 2)
+        resid = xm - coeffs * direction
+        resid_var = jnp.mean(resid ** 2)
+        return (x_var - resid_var) / (x_var + 1.0e-20)
+
+    pg = jax.grad(variance_proportion)(x_orig.astype(jnp.float32))
+    gf = g.astype(jnp.float32)
+    extra = pg * (scale * jnp.linalg.norm(gf)
+                  / (jnp.linalg.norm(pg) + 1.0e-20))
+    out = (gf + gate * extra).astype(g.dtype)
+    return (out, jnp.zeros_like(coeffs), jnp.zeros_like(direction),
+            jnp.zeros_like(gate))
+
+
+_max_eig_core.defvjp(_me_fwd, _me_bwd)
+
+
+def max_eig(state, x, rng=None, *, channel_dim: int = -1,
+            max_var_per_eig: float = 0.2, min_prob: float = 0.01,
+            scale: float = 0.01, training: bool = True):
+    """Discourage any single direction from dominating the activation
+    covariance (reference MaxEig, scaling.py:1002-1110). Returns
+    (x, new_state); the gradient edit applies only when the constraint is
+    active (top-eig variance proportion >= max_var_per_eig) and the
+    probability gate fires. cur_prob regresses to min_prob while inactive
+    and snaps to 1.0 when active, like the reference."""
+    if not training or rng is None or max_var_per_eig <= 0:
+        return x, state
+    cd = channel_dim if channel_dim >= 0 else channel_dim + x.ndim
+    C = x.shape[cd]
+    xf = jax.lax.stop_gradient(x.astype(jnp.float32))
+    xm = jnp.moveaxis(xf, cd, -1).reshape(-1, C)
+    xm = xm - xm.mean(axis=0)
+
+    prev = state["direction"]
+    coeffs = (xm * prev).sum(axis=1, keepdims=True) + 1.0e-10
+    new_dir = (xm * coeffs).sum(axis=0) / ((coeffs ** 2).sum() + 1.0e-20)
+    x_var = jnp.mean(xm ** 2)
+    resid_var = jnp.mean((xm - coeffs * new_dir) ** 2)
+    vp = (x_var - resid_var) / (x_var + 1.0e-20)
+
+    run = jax.random.uniform(rng, ()) < state["cur_prob"]
+    active = run & (vp >= max_var_per_eig)
+    # direction update: 0.1*prev + new, normalized; keep prev if non-finite
+    nd = 0.1 * prev + new_dir
+    nd = nd / (jnp.linalg.norm(nd) + 1.0e-20)
+    nd = jnp.where(jnp.all(jnp.isfinite(nd)), nd, prev)
+    new_state = {
+        "direction": jnp.where(run, nd, prev),
+        "cur_prob": jnp.where(
+            run,
+            jnp.where(active, 1.0,
+                      0.75 * state["cur_prob"] + 0.25 * min_prob),
+            state["cur_prob"]),
+    }
+    y = _max_eig_core(x, coeffs, new_dir, active.astype(jnp.float32),
+                      channel_dim, scale)
+    return y, new_state
+
+
+# ---------------------------------------------------------------------------
+# ScaledConv1d (reference scaling.py:452-470)
+# ---------------------------------------------------------------------------
+
+
+def init_scaled_conv1d(rng, c_in: int, c_out: int, kernel_size: int, *,
+                       bias: bool = True, initial_scale: float = 1.0):
+    """Conv1d init with output magnitude scaled by ``initial_scale``
+    (weights x scale, bias ~ U(-0.1*scale, 0.1*scale)); weight stored
+    (k, in, out) for NTC convolution."""
+    wkey, bkey = jax.random.split(rng)
+    fan_in = c_in * kernel_size
+    bound = 1.0 / math.sqrt(fan_in)  # torch kaiming_uniform(a=sqrt(5))
+    p = {"w": jax.random.uniform(
+        wkey, (kernel_size, c_in, c_out), jnp.float32, -bound, bound)
+        * initial_scale}
+    if bias:
+        p["b"] = jax.random.uniform(
+            bkey, (c_out,), jnp.float32, -0.1 * initial_scale,
+            0.1 * initial_scale)
+    return p
+
+
+def scaled_conv1d(params, x, *, stride: int = 1):
+    """SAME-padded 1-D conv, x: (B, T, C)."""
+    y = jax.lax.conv_general_dilated(
+        x, params["w"].astype(x.dtype), window_strides=(stride,),
+        padding="SAME", dimension_numbers=("NTC", "TIO", "NTC"))
+    if "b" in params:
+        y = y + params["b"].astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
 # SRLinear (spectral-norm linear, reference scaling.py:551-615)
 # ---------------------------------------------------------------------------
 
@@ -330,6 +530,55 @@ def sr_linear(params, state, x, *, training: bool = True):
     sigma_est = jax.lax.stop_gradient(sigma_est)
     weight = (params["sigma"] / (sigma_est + 1e-12)) * w
     y = x @ weight.astype(x.dtype)
+    if "b" in params:
+        y = y + params["b"].astype(x.dtype)
+    new_state = {"u": jax.lax.stop_gradient(u_new)} if training else state
+    return y, new_state
+
+
+# ---------------------------------------------------------------------------
+# SRConv1d (spectral-norm conv, reference scaling.py:587-615)
+# ---------------------------------------------------------------------------
+
+
+def init_sr_conv1d(rng, c_in: int, c_out: int, kernel_size: int,
+                   bias: bool = True):
+    """Spectral-norm conv: the (out, in*k) flattened weight is power-iter
+    normalized like SRLinear (reference SRConv1d subclasses SRLinear with
+    in_features = in*k)."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    fan_in = c_in * kernel_size
+    bound = 1.0 / math.sqrt(fan_in)  # kaiming_uniform(a=sqrt(5))
+    p = {"w": jax.random.uniform(
+        k1, (c_out, fan_in), jnp.float32, -bound, bound),
+        "sigma": jnp.ones((1,))}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (c_out,), jnp.float32, -bound,
+                                    bound)
+    u = jax.random.normal(k3, (fan_in,))
+    state = {"u": u / jnp.linalg.norm(u)}
+    return p, state
+
+
+def sr_conv1d(params, state, x, *, kernel_size: int, stride: int = 1,
+              training: bool = True):
+    """SAME-padded spectral-norm conv, x: (B, T, C_in). Returns
+    (y, new_state). torch-orientation power iteration: v = W u; u = W^T v;
+    sigma = v . W u (reference scaling.py:556-575)."""
+    w = params["w"].astype(jnp.float32)  # (out, in*k)
+    u = state["u"]
+    v = w @ u
+    v = v / (jnp.linalg.norm(v) + 1e-12)
+    u_new = w.T @ v
+    u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
+    sigma_est = jax.lax.stop_gradient(v @ (w @ u_new))
+    weight = (params["sigma"] / (sigma_est + 1e-12)) * w
+    c_out = weight.shape[0]
+    c_in = weight.shape[1] // kernel_size
+    wk = weight.reshape(c_out, c_in, kernel_size).transpose(2, 1, 0)
+    y = jax.lax.conv_general_dilated(
+        x, wk.astype(x.dtype), window_strides=(stride,), padding="SAME",
+        dimension_numbers=("NTC", "TIO", "NTC"))
     if "b" in params:
         y = y + params["b"].astype(x.dtype)
     new_state = {"u": jax.lax.stop_gradient(u_new)} if training else state
