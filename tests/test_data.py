@@ -155,6 +155,55 @@ def test_bucketing_sampler_budget_and_static_shapes(tmp_path):
     assert len(shapes) <= 6  # bounded compiled-shape set
 
 
+def test_spec_augment():
+    from valle_tpu.data.augment import SpecAugment
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(3, 400, 100).astype(np.float32) + 5.0
+    lens = np.array([400, 300, 220], np.int32)
+    aug = SpecAugment(p=1.0, seed=1)
+    out = aug(feats, lens)
+    assert out.shape == feats.shape
+    assert not np.array_equal(out, feats)        # something changed
+    assert np.array_equal(feats, feats)          # input not mutated
+    # masked regions exist (features are all > 1 pre-mask)
+    assert (np.abs(out) < 1e-12).sum() > 0
+    # deterministic per seed
+    out2 = SpecAugment(p=1.0, seed=1)(feats, lens)
+    np.testing.assert_array_equal(out, out2)
+    # integer (codec) features pass through untouched
+    codes = rng.randint(0, 1024, (2, 50, 8)).astype(np.int16)
+    np.testing.assert_array_equal(aug(codes), codes)
+
+
+def test_on_the_fly_features(tmp_path):
+    from valle_tpu import native
+    from valle_tpu.data.fbank import get_fbank_extractor
+    from valle_tpu.data.input_strategies import OnTheFlyFeatures
+    from valle_tpu.data.manifests import RecordingRef
+
+    sr = 24000
+    cuts = []
+    for i, n in enumerate((24000, 12000)):
+        wav = (0.3 * np.sin(2 * np.pi * 330 * np.arange(n) / sr)
+               ).astype(np.float32)
+        p = tmp_path / f"otf{i}.wav"
+        native.write_wav(p, wav, sr)
+        cuts.append(Cut(id=f"otf{i}", duration=n / sr, text="x",
+                        tokens=["x"],
+                        recording=RecordingRef(str(p), sr, n)))
+    extractor = get_fbank_extractor()
+    feats, lens = OnTheFlyFeatures(extractor)(cuts)
+    assert feats.shape[0] == 2 and feats.shape[2] == 100
+    assert feats.dtype == np.float32
+    # matches direct extraction
+    wav0 = cuts[0].load_audio()
+    direct = extractor.extract(wav0, sr)
+    np.testing.assert_allclose(feats[0, :lens[0]], direct, rtol=1e-6)
+    assert lens[1] < lens[0]
+    assert np.all(feats[1, lens[1]:] == 0)
+
+
 def test_sampler_fast_forward_resume(tmp_path):
     """Mid-epoch resume skips already-consumed batches (reference
     trainer.py:346-364 restores lhotse sampler state)."""

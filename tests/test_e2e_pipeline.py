@@ -198,6 +198,7 @@ def test_mel_transformer_pipeline(dataset_dir):
         "--text-tokens", str(out / "unique_text_tokens.k2symbols"),
         "--exp-dir", str(exp),
         "--model-name", "Transformer",
+        "--on-the-fly-feats", "true", "--enable-spec-aug", "true",
         "--decoder-dim", "32", "--nhead", "2", "--num-decoder-layers", "2",
         "--num-epochs", "1", "--max-duration", "6", "--num-buckets", "2",
         "--filter-min-duration", "0.1", "--filter-max-duration", "5.0",

@@ -99,6 +99,8 @@ class TtsDataModule:
         group.add_argument("--return-cuts", type=str2bool, default=True)
         group.add_argument("--num-workers", type=int, default=2)
         group.add_argument("--enable-spec-aug", type=str2bool, default=False)
+        group.add_argument("--spec-aug-time-warp-factor", type=int,
+                           default=80)
         group.add_argument("--input-strategy", type=str,
                            default="PrecomputedFeatures",
                            help="PrecomputedFeatures or "
@@ -124,9 +126,32 @@ class TtsDataModule:
     def train_dataloaders(self, cuts_train: CutSet,
                           sampler_state_dict: Optional[dict] = None):
         logging.info("About to create train dataset")
+        if getattr(self.args, "concatenate_cuts", False):
+            logging.warning(
+                "--concatenate-cuts is a no-op here: bucketed static-shape "
+                "batching already bounds padding waste (SURVEY §2.4)")
+        input_transforms = []
+        if self.args.enable_spec_aug:
+            from .augment import SpecAugment
+
+            logging.info("Enable SpecAugment (time warp factor "
+                         f"{self.args.spec_aug_time_warp_factor})")
+            input_transforms.append(SpecAugment(
+                time_warp_factor=self.args.spec_aug_time_warp_factor,
+                num_frame_masks=10, features_mask_size=27,
+                num_feature_masks=2, frames_mask_size=100))
+        if self.args.on_the_fly_feats:
+            from .fbank import get_fbank_extractor
+            from .input_strategies import OnTheFlyFeatures
+
+            logging.info("Computing fbank features on the fly")
+            strategy = OnTheFlyFeatures(get_fbank_extractor())
+        else:
+            strategy = self._input_strategy(cuts_train)
         dataset = SpeechSynthesisDataset(
             get_text_token_collater(self.args.text_tokens),
-            feature_input_strategy=self._input_strategy(cuts_train))
+            feature_input_strategy=strategy,
+            feature_transforms=input_transforms)
         if self.args.bucketing_sampler:
             sampler = DynamicBucketingSampler(
                 cuts_train, max_duration=self.args.max_duration,

@@ -55,7 +55,11 @@ class SpeechSynthesisDataset:
             pass  # (prompts, features) pairs flow through unchanged
         else:
             for t in self.feature_transforms:
-                audio_features = t(audio_features)
+                try:  # length-aware transforms mask only valid frames
+                    audio_features = t(audio_features,
+                                       audio_features_lens)
+                except TypeError:
+                    audio_features = t(audio_features)
             if pad_audio_to and audio_features.shape[1] < pad_audio_to:
                 pad = pad_audio_to - audio_features.shape[1]
                 audio_features = np.pad(

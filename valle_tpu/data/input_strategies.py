@@ -40,6 +40,32 @@ class PrecomputedFeatures:
         return collate_features(cuts)
 
 
+class OnTheFlyFeatures:
+    """Compute features from each cut's recording during loading
+    (reference datamodule.py:295-311 wraps lhotse OnTheFlyFeatures around
+    the BigVGAN fbank extractor when --on-the-fly-feats is set)."""
+
+    def __init__(self, extractor):
+        self.extractor = extractor
+
+    def __call__(self, cuts) -> Tuple[np.ndarray, np.ndarray]:
+        sr = getattr(self.extractor, "sampling_rate", 24000)
+        feats = []
+        for c in cuts:
+            wav = c.load_audio()
+            assert c.recording.sample_rate == sr, (
+                f"cut {c.id}: recording at {c.recording.sample_rate} Hz, "
+                f"extractor expects {sr} (resample during manifest prep)")
+            feats.append(np.asarray(self.extractor.extract(wav, sr)))
+        lens = np.array([f.shape[0] for f in feats], dtype=np.int32)
+        T = int(lens.max())
+        F = feats[0].shape[1]
+        out = np.zeros((len(feats), T, F), dtype=feats[0].dtype)
+        for i, f in enumerate(feats):
+            out[i, : f.shape[0]] = f
+        return out, lens
+
+
 class PromptedFeatures:
     def __init__(self, prompts, features):
         self.prompts = prompts
