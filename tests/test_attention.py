@@ -119,6 +119,87 @@ def test_ar_decode_kernel_token_equality():
     np.testing.assert_array_equal(np.asarray(base), np.asarray(kern))
 
 
+def test_int8_grouped_kernel_matches_dequant_oracle():
+    """Fused-dequant grouped kernel (interpret) == attention over the
+    dequantized cache."""
+    from valle_tpu.modules.transformer import quantize_kv
+    from valle_tpu.ops.decode_attention_int8_grouped import (
+        decode_attention_int8_grouped,
+    )
+
+    B, H, T, D, S = 8, 4, 512, 64, 40
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H, 1, D))
+    k = jax.random.normal(ks[1], (B, H, T, D))
+    v = jax.random.normal(ks[2], (B, H, T, D))
+    kq, ksc = quantize_kv(k)
+    vq, vsc = quantize_kv(v)
+    x_lens = jnp.array([40, 25, 10, 33, 7, 40, 18, 2])
+    wp = jnp.array([300, 120, 60, 440, 95, 511, 200, 47])
+
+    out = decode_attention_int8_grouped(
+        q, kq, ksc, vq, vsc, x_lens, wp, S=S, group=8, interpret=True)
+
+    kk = jnp.arange(T)[None, :]
+    valid = (kk < x_lens[:, None]) | ((kk >= S) & (kk <= wp[:, None]))
+    bias = jnp.where(valid, 0.0, -jnp.inf)[:, None, None, :]
+    ref = naive_attention(q, kq.astype(jnp.float32) * ksc[..., None],
+                          vq.astype(jnp.float32) * vsc[..., None], bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ar_decode_int8_grouped_token_agreement():
+    """int8_grouped kernel decode: matching lengths and >90% token
+    agreement with the exact path (int8 K/V quantization can flip
+    near-ties on an untrained model)."""
+    from valle_tpu.models import ValleConfig, init_valle
+    from valle_tpu.models.inference import valle_ar_decode
+
+    cfg = ValleConfig(d_model=32, nhead=2, num_layers=2, prefix_mode=1,
+                      num_quantizers=8, max_len=512, max_prefix_len=8)
+    params, _ = init_valle(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    B, S, P, G = 8, 9, 6, 16
+    text = jax.random.randint(ks[0], (B, S), 0, 90)
+    text_lens = jnp.full((B,), S).at[1].set(6)
+    pq0 = jax.random.randint(ks[1], (B, P), 0, 1024)
+    p_lens = jnp.full((B,), P).at[1].set(4)
+    base, bl = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                               ks[2], top_k=1, max_gen_len=G,
+                               force_full_length=True)
+    i8, il = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                             ks[2], top_k=1, max_gen_len=G,
+                             force_full_length=True,
+                             use_decode_kernel=True, kernel_interpret=True,
+                             decode_kernel_mode="int8_grouped")
+    np.testing.assert_array_equal(np.asarray(bl), np.asarray(il))
+    agreement = float((np.asarray(base) == np.asarray(i8)).mean())
+    assert agreement > 0.9, agreement
+
+
+def test_ar_decode_unroll_token_equality():
+    """unroll_layers changes scheduling only — token-exact vs fori_loop."""
+    from valle_tpu.models import ValleConfig, init_valle
+    from valle_tpu.models.inference import valle_ar_decode
+
+    cfg = ValleConfig(d_model=32, nhead=2, num_layers=2, prefix_mode=1,
+                      num_quantizers=8, max_len=512, max_prefix_len=8)
+    params, _ = init_valle(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    B, S, P, G = 2, 9, 6, 20
+    text = jax.random.randint(ks[0], (B, S), 0, 90)
+    text_lens = jnp.array([9, 6])
+    pq0 = jax.random.randint(ks[1], (B, P), 0, 1024)
+    p_lens = jnp.array([6, 4])
+    base, bl = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                               ks[2], top_k=1, max_gen_len=G)
+    unr, ul = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                              ks[2], top_k=1, max_gen_len=G,
+                              unroll_layers=True)
+    np.testing.assert_array_equal(np.asarray(bl), np.asarray(ul))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(unr))
+
+
 def test_ar_decode_int8_cache_close():
     """int8 KV cache: tokens agree with the fp path on an untrained model
     (near-ties may flip; require >90% agreement and matching lengths)."""

@@ -64,7 +64,8 @@ def _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype):
     static_argnames=("cfg", "top_k", "max_gen_len", "compute_dtype",
                      "force_full_length", "aligned_prompts",
                      "use_decode_kernel", "kernel_interpret",
-                     "kv_cache_int8", "decode_kernel_mode"),
+                     "kv_cache_int8", "decode_kernel_mode",
+                     "unroll_layers"),
 )
 def valle_ar_decode(
     params,
@@ -85,6 +86,7 @@ def valle_ar_decode(
     kernel_interpret: bool = False,
     kv_cache_int8: bool = False,
     decode_kernel_mode: str = "grouped",
+    unroll_layers: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched KV-cache AR decode of quantizer-0 codes.
 
@@ -114,11 +116,12 @@ def valle_ar_decode(
     if use_decode_kernel:
         from ..ops.decode_attention import BLOCK_K
 
-        # grouped mode needs B % 8 == 0; resolve the effective mode here so
+        # grouped modes need B % 8 == 0; resolve the effective mode here so
         # cache rounding and kernel dispatch agree
-        if decode_kernel_mode == "grouped" and B % 8 != 0:
+        if decode_kernel_mode in ("grouped", "int8_grouped") and B % 8 != 0:
             decode_kernel_mode = "per_sample"
-        blk = 128 if decode_kernel_mode == "grouped" else BLOCK_K
+        blk = (128 if decode_kernel_mode in ("grouped", "int8_grouped")
+               else BLOCK_K)
         cache_len = ((cache_len + blk - 1) // blk) * blk
 
     x, y = _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype)
@@ -131,7 +134,12 @@ def valle_ar_decode(
         params["ar"]["decoder"], xy, bias, nhead=cfg.nhead,
         cache_len=cache_len, norm_first=cfg.norm_first,
         activation=cfg.activation, dtype=dtype)
-    if use_decode_kernel:
+    if use_decode_kernel and decode_kernel_mode == "int8_grouped":
+        # natural layout, int8 + per-position scales (fused dequant kernel)
+        kq, ksc = tfm.quantize_kv(cache["k"])
+        vq, vsc = tfm.quantize_kv(cache["v"])
+        cache = {"k": kq, "k_scale": ksc, "v": vq, "v_scale": vsc}
+    elif use_decode_kernel:
         # kernel cache layout: (L, B, H, Dh, Tmax) — one-time transpose
         cache = {"k": jnp.swapaxes(cache["k"], -2, -1),
                  "v": jnp.swapaxes(cache["v"], -2, -1)}
@@ -206,7 +214,8 @@ def valle_ar_decode(
             hidden_s, cache_c = tfm.encoder_stack_decode_step(
                 params["ar"]["decoder"], xstep, cache_c, write_pos,
                 step_bias, nhead=cfg.nhead, norm_first=cfg.norm_first,
-                activation=cfg.activation, dtype=dtype, kernel_ctx=kctx)
+                activation=cfg.activation, dtype=dtype, kernel_ctx=kctx,
+                unroll=unroll_layers)
         new_logits = (hidden_s[:, 0] @ W).astype(jnp.float32)
         return (g + 1, rng_c, cache_c, new_logits, done, gen_codes, gen_lens)
 

@@ -698,7 +698,7 @@ def encoder_stack_decode_step_int8(
 
 def encoder_stack_decode_step(
     p, x, cache, pos, bias, *, nhead, norm_first=True, activation="relu",
-    dtype=None, kernel_ctx=None,
+    dtype=None, kernel_ctx=None, unroll=False,
 ):
     """One decode step through all layers. x: (B, 1, D); pos: (B,) indices.
 
@@ -709,16 +709,28 @@ def encoder_stack_decode_step(
     not scan xs/ys — scan double-buffers its ys, which copied the entire
     cache every token (measured ~4.4 of 7.4 ms/step at 12L/1024d/B32).
     Carries alias in place; only the one written token row costs traffic.
+    ``unroll=True`` replaces the fori_loop with a static python loop so
+    every layer's weight reads are static slices XLA can prefetch.
+
+    kernel_ctx mode "int8_grouped" uses an int8 cache with per-position
+    scales (cache keys k/v int8 + k_scale/v_scale, NATURAL layout) and the
+    fused-dequant Pallas kernel (ops/decode_attention_int8_grouped.py).
     """
     L = jax.tree_util.tree_leaves(p["layers"])[0].shape[0]
     B = x.shape[0]
     bidx = jnp.arange(B)
+    mode = kernel_ctx[4] if kernel_ctx is not None else None
+    int8_mode = mode == "int8_grouped"
 
     def body(i, carry):
-        h, ck_all, cv_all = carry
-        lp = jax.tree_util.tree_map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
-            p["layers"])
+        if int8_mode:
+            h, ck_all, cv_all, ksc_all, vsc_all = carry
+        else:
+            h, ck_all, cv_all = carry
+        index = ((lambda a: a[i]) if isinstance(i, int) else
+                 (lambda a: jax.lax.dynamic_index_in_dim(
+                     a, i, 0, keepdims=False)))
+        lp = jax.tree_util.tree_map(index, p["layers"])
         hin = apply_norm(lp["norm1"], h, None) if norm_first else h
 
         in_w = lp["self_attn"]["in_w"] if dtype is None else (
@@ -731,11 +743,26 @@ def encoder_stack_decode_step(
         k = _split_heads(k, nhead)
         v = _split_heads(v, nhead)
 
-        if kernel_ctx is not None:
+        if int8_mode:
+            from ..ops.decode_attention_int8_grouped import (
+                decode_attention_int8_grouped,
+            )
+
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            ck_all = ck_all.at[i, bidx, :, pos, :].set(kq[:, :, 0, :])
+            cv_all = cv_all.at[i, bidx, :, pos, :].set(vq[:, :, 0, :])
+            ksc_all = ksc_all.at[i, bidx, :, pos].set(ks[:, :, 0])
+            vsc_all = vsc_all.at[i, bidx, :, pos].set(vs[:, :, 0])
+            x_lens, write_pos, S, interp, _ = kernel_ctx
+            out = decode_attention_int8_grouped(
+                q, ck_all[i], ksc_all[i], cv_all[i], vsc_all[i],
+                x_lens, write_pos, S=S, group=8, interpret=interp)
+        elif kernel_ctx is not None:
             # kernel cache layout (L, B, H, Dh, Tmax)
             ck_all = ck_all.at[i, bidx, :, :, pos].set(k[:, :, 0, :])
             cv_all = cv_all.at[i, bidx, :, :, pos].set(v[:, :, 0, :])
-            x_lens, write_pos, S, interp, mode = kernel_ctx
+            x_lens, write_pos, S, interp, _ = kernel_ctx
             if mode == "grouped":
                 from ..ops.decode_attention_grouped import (
                     decode_attention_grouped,
@@ -771,10 +798,26 @@ def encoder_stack_decode_step(
             h = apply_norm(lp["norm2"], h + _ffn(
                 lp["ffn"], h, activation, dropout_rate=0.0, rng=None,
                 deterministic=True, dtype=dtype), None)
+        if int8_mode:
+            return (h, ck_all, cv_all, ksc_all, vsc_all)
         return (h, ck_all, cv_all)
 
-    h, ks, vs = jax.lax.fori_loop(
-        0, L, body, (x, cache["k"], cache["v"]))
+    if int8_mode:
+        init = (x, cache["k"], cache["v"], cache["k_scale"],
+                cache["v_scale"])
+    else:
+        init = (x, cache["k"], cache["v"])
+    if unroll:
+        carry = init
+        for li in range(L):
+            carry = body(li, carry)
+    else:
+        carry = jax.lax.fori_loop(0, L, body, init)
+    h = carry[0]
     if "final_norm" in p:
         h = apply_norm(p["final_norm"], h, None)
-    return h, {"k": ks, "v": vs}
+    out_cache = {"k": carry[1], "v": carry[2]}
+    if int8_mode:
+        out_cache["k_scale"] = carry[3]
+        out_cache["v_scale"] = carry[4]
+    return h, out_cache
