@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""AR-stage training throughput: sequence packing vs duration bucketing.
+
+Builds a synthetic LibriTTS-like corpus (lognormal durations, mean ~5.6 s —
+egs/libritts/README.md:20-28), drives BOTH real data paths end to end
+(sampler -> dataset/collation -> jitted ScaledAdam train step) and reports
+REAL codec frames per second (padding excluded) plus padding efficiency.
+
+Methodology per benchmarks/README.md: vary the step rng (fold step index),
+materialize with np.asarray, warm every compiled shape before timing.
+
+Usage: benchmarks/run_tpu.sh benchmarks/bench_train_packing.py [n_utts]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def make_corpus(tmp, n_utts, rng):
+    import h5py
+
+    from valle_tpu.data.manifests import Cut, CutSet, FeatureRef
+
+    frame_shift = 320.0 / 24000
+    h5 = f"{tmp}/feats.h5"
+    cuts = []
+    with h5py.File(h5, "w") as f:
+        for i in range(n_utts):
+            dur = float(np.clip(rng.lognormal(np.log(5.0), 0.45), 1.0, 14.0))
+            nf = int(round(dur / frame_shift)) + 1
+            codes = rng.randint(0, 1024, size=(nf, 8)).astype(np.int16)
+            f.create_dataset(f"utt{i}", data=codes)
+            n_tok = max(4, int(dur * 15))
+            cuts.append(Cut(
+                id=f"utt{i}", duration=dur, text="x",
+                tokens=[chr(97 + rng.randint(0, 24)) for _ in range(n_tok)],
+                features=FeatureRef(
+                    storage_path=h5, storage_key=f"utt{i}",
+                    num_frames=nf, num_features=8, frame_shift=frame_shift)))
+    return CutSet(cuts)
+
+
+def main():
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from valle_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    from valle_tpu.data.collation import TextTokenCollater
+    from valle_tpu.data.dataset import SpeechSynthesisDataset
+    from valle_tpu.data.packing import (
+        PackedSpeechDataset,
+        SequencePackingSampler,
+    )
+    from valle_tpu.data.sampler import DynamicBucketingSampler
+    from valle_tpu.models import ValleConfig
+    from valle_tpu.models.valle import init_valle, valle_ar_forward_packed
+    from valle_tpu.training import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    small = "small" in sys.argv[1:]  # CPU smoke mode
+    args = [a for a in sys.argv[1:] if a != "small"]
+    n_utts = int(args[0]) if args else (40 if small else 400)
+    rng_np = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp(prefix="packbench")
+    cuts = make_corpus(tmp, n_utts, rng_np)
+    # both paths see the same cuts; packed rows bound utterance length the
+    # way the reference bounds duration (bin/trainer.py filter, 14 s)
+    n0 = len(cuts)
+    cuts = cuts.filter(
+        lambda c: c.features.num_frames <= 1024 and len(c.tokens) + 2 <= 256)
+    print(f"corpus: {len(cuts)}/{n0} cuts within packed row capacity",
+          flush=True)
+    symbols = sorted({t for c in cuts for t in c.tokens})
+    collater = TextTokenCollater(symbols)
+
+    if small:
+        cfg = ValleConfig(d_model=64, nhead=4, num_layers=2, prefix_mode=1,
+                          num_quantizers=8, max_len=4096)
+    else:
+        cfg = ValleConfig(d_model=1024, nhead=16, num_layers=12,
+                          prefix_mode=1, num_quantizers=8, max_len=4096)
+    opt_params, _ = init_valle(jax.random.PRNGKey(0), cfg)
+    opt, lr_fn = make_optimizer(opt_params, base_lr=0.05, train_stage=1)
+    del opt_params
+
+    rng = jax.random.PRNGKey(0)
+    results = {}
+
+    def time_path(name, batches, step_fn, state, frames_of):
+        # warm every distinct shape
+        shapes = {}
+        for b in batches:
+            key = tuple((k, v.shape) for k, v in sorted(b.items()))
+            if key not in shapes:
+                shapes[key] = b
+        print(f"[{name}] {len(batches)} batches, {len(shapes)} compiled "
+              f"shapes", flush=True)
+        for b in shapes.values():
+            state, m = step_fn(state, b, jnp.int32(0), rng)
+            np.asarray(m["loss"])
+        t0 = time.perf_counter()
+        tot_frames = 0
+        for i, b in enumerate(batches):
+            state, m = step_fn(
+                state, b, jnp.int32(0), jax.random.fold_in(rng, i))
+            tot_frames += frames_of(b)
+        np.asarray(m["loss"])
+        dt = time.perf_counter() - t0
+        results[name] = {
+            "steps": len(batches),
+            "ms_per_step": round(dt * 1e3 / len(batches), 1),
+            "real_frames_per_sec": round(tot_frames / dt, 1),
+        }
+        print(f"[{name}] {results[name]}", flush=True)
+
+    # ---- bucketed path (reference-style max_duration=80 budget) ----
+    dataset = SpeechSynthesisDataset(collater)
+    sampler = DynamicBucketingSampler(cuts, max_duration=80, num_buckets=6,
+                                      shuffle=True, seed=1)
+    bucket_batches = []
+    padded = real = 0
+    for b in sampler:
+        bd = dataset.__getitem__(b.cuts, pad_audio_to=b.pad_audio_to,
+                                 pad_text_to=b.pad_text_to)
+        mb = {
+            "text": jnp.asarray(bd["text_tokens"], jnp.int32),
+            "text_lens": jnp.asarray(bd["text_tokens_lens"], jnp.int32),
+            "audio": jnp.asarray(bd["audio_features"], jnp.int32),
+            "audio_lens": jnp.asarray(bd["audio_features_lens"], jnp.int32),
+        }
+        padded += int(mb["audio"].shape[0] * mb["audio"].shape[1])
+        real += int(np.sum(bd["audio_features_lens"]))
+        bucket_batches.append(mb)
+    bucket_eff = real / max(padded, 1)
+
+    state = init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    state = state._replace(params=jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, state.params))
+    step_bucket = jax.jit(make_train_step(
+        cfg, opt, lr_fn, train_stage=1, accum_steps=1,
+        compute_dtype=jnp.bfloat16))
+    time_path("bucketed", bucket_batches, step_bucket, state,
+              lambda b: int(np.sum(np.asarray(b["audio_lens"]))))
+    results["bucketed"]["padding_efficiency"] = round(bucket_eff, 3)
+
+    # ---- packed path (same corpus; 1024-frame rows, 8 rows/batch) ----
+    pdataset = PackedSpeechDataset(collater)
+    psampler = SequencePackingSampler(cuts, max_frames=1024, max_text=256,
+                                      rows_per_batch=8, seed=1)
+    packed_batches = []
+    padded = real = 0
+    for b in psampler:
+        bd = pdataset.__getitem__(b.cuts, pad_audio_to=b.pad_audio_to,
+                                  pad_text_to=b.pad_text_to)
+        mb = {k: jnp.asarray(v) for k, v in bd.items() if k != "utt_id"}
+        padded += int(mb["ar_inputs"].shape[0] * mb["ar_inputs"].shape[1])
+        real += int(np.sum(bd["row_frames"]))
+        packed_batches.append(mb)
+    pack_eff = real / max(padded, 1)
+
+    step_packed = jax.jit(make_train_step(
+        cfg, opt, lr_fn, train_stage=1, accum_steps=1,
+        compute_dtype=jnp.bfloat16, forward_fn=valle_ar_forward_packed))
+    time_path("packed", packed_batches, step_packed, state,
+              lambda b: int(np.sum(np.asarray(b["row_frames"]))))
+    results["packed"]["padding_efficiency"] = round(pack_eff, 3)
+
+    import json
+
+    speedup = (results["packed"]["real_frames_per_sec"]
+               / results["bucketed"]["real_frames_per_sec"])
+    results["packed_vs_bucketed_speedup"] = round(speedup, 3)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,6 +166,18 @@ def test_infer_cli(dataset_dir, tokenized_dir, trained_dir):
     assert wav.shape[0] > 0
 
 
+def test_train_ar_packed(dataset_dir, tokenized_dir):
+    """--ar-pack: sequence-packed AR training through the trainer CLI."""
+    from valle_tpu.bin.trainer import main as trainer_main
+
+    exp = dataset_dir / "exp_packed"
+    _run_main(trainer_main, _trainer_args(
+        dataset_dir, tokenized_dir, exp, stage=1,
+        extra=("--ar-pack", "true", "--pack-max-frames", "128",
+               "--pack-max-text", "32", "--pack-rows", "2")))
+    assert (exp / "epoch-1").exists()
+
+
 def test_manifest_statistics_cli(tokenized_dir, capsys):
     from valle_tpu.bin.display_manifest_statistics import main as stats_main
 

@@ -129,6 +129,10 @@ def _model_batch(batch, accum: int, dp: int = 1):
     """
     from ..data.input_strategies import PromptedFeatures
 
+    if "ar_inputs" in batch:  # sequence-packed AR batch: already model-ready
+        out = {k: np.asarray(v) for k, v in batch.items() if k != "utt_id"}
+        return _group_batch(out, accum, dp)
+
     feats = batch["audio_features"]
     lens = batch["audio_features_lens"]
     out = {
@@ -150,6 +154,10 @@ def _model_batch(batch, accum: int, dp: int = 1):
             out["audio"] = feats.astype(np.int32)    # codec tokens
         out["audio_lens"] = np.asarray(lens, np.int32)
 
+    return _group_batch(out, accum, dp)
+
+
+def _group_batch(out, accum: int, dp: int):
     group = accum * dp
     if group > 1:
         B = out["text"].shape[0]
@@ -373,10 +381,18 @@ def run(args) -> None:
 
     state = shard_train_state(state, mesh)
 
+    forward_fn = None
+    if getattr(args, "ar_pack", False):
+        if args.train_stage != 1 or args.model_name.lower() != "valle":
+            raise SystemExit(
+                "--ar-pack requires --train-stage 1 and --model-name valle")
+        from ..models.valle import valle_ar_forward_packed
+
+        forward_fn = valle_ar_forward_packed
     step_fn = jax.jit(make_train_step(
         cfg, opt, lr_fn, train_stage=args.train_stage,
         accum_steps=args.accumulate_grad_steps,
-        compute_dtype=compute_dtype))
+        compute_dtype=compute_dtype, forward_fn=forward_fn))
 
     # data (sampler shards batches across processes automatically)
     if args.world_size_data == 1 and jax.process_count() > 1:
@@ -479,12 +495,16 @@ def _diagnose_nonfinite_step(args, model, prev_state, mb, epoch, rng,
     from ..models import ValleModel
     from ..models.valle import valle_forward
 
-    if isinstance(model, ValleModel):
-        forward_fn = valle_forward
-    else:
+    if not isinstance(model, ValleModel):
         from ..models.transformer import transformer_tts_forward
 
         forward_fn = transformer_tts_forward
+    elif "ar_inputs" in mb:  # sequence-packed AR batch
+        from ..models.valle import valle_ar_forward_packed
+
+        forward_fn = valle_ar_forward_packed
+    else:
+        forward_fn = valle_forward
 
     micro = mb
     if args.accumulate_grad_steps > 1:  # diagnose the first microbatch

@@ -115,6 +115,17 @@ class TtsDataModule:
         group.add_argument("--world-size-data", type=int, default=1,
                            help="Data-parallel shard count for the sampler.")
         group.add_argument("--rank-data", type=int, default=0)
+        group.add_argument("--ar-pack", type=str2bool, default=False,
+                           help="AR stage: pack several utterances per "
+                                "fixed-shape row (block-diagonal masks, "
+                                "one compiled shape; train-stage 1 only).")
+        group.add_argument("--pack-max-frames", type=int, default=1024,
+                           help="Packed row audio capacity in codec frames "
+                                "(1024 = 13.6 s at 75 Hz).")
+        group.add_argument("--pack-max-text", type=int, default=256,
+                           help="Packed row text-token capacity.")
+        group.add_argument("--pack-rows", type=int, default=8,
+                           help="Rows per packed batch.")
 
     # -- strategies -----------------------------------------------------------
     def _input_strategy(self, cuts: CutSet):
@@ -126,6 +137,31 @@ class TtsDataModule:
     def train_dataloaders(self, cuts_train: CutSet,
                           sampler_state_dict: Optional[dict] = None):
         logging.info("About to create train dataset")
+        if getattr(self.args, "ar_pack", False):
+            from .packing import PackedSpeechDataset, SequencePackingSampler
+
+            prepend_bos = bool(getattr(self.args, "prepend_bos", False))
+            logging.info(
+                "Sequence packing: rows of %d frames / %d text tokens, "
+                "%d rows per batch",
+                self.args.pack_max_frames, self.args.pack_max_text,
+                self.args.pack_rows)
+            dataset = PackedSpeechDataset(
+                get_text_token_collater(self.args.text_tokens),
+                feature_input_strategy=PrecomputedFeatures(),
+                prepend_bos=prepend_bos)
+            sampler = SequencePackingSampler(
+                cuts_train, max_frames=self.args.pack_max_frames,
+                max_text=self.args.pack_max_text,
+                rows_per_batch=self.args.pack_rows,
+                prepend_bos=prepend_bos, shuffle=self.args.shuffle,
+                drop_last=self.args.drop_last,
+                world_size=self.args.world_size_data,
+                rank=self.args.rank_data)
+            if sampler_state_dict is not None:
+                sampler.load_state_dict(sampler_state_dict)
+            return DataLoader(dataset, sampler,
+                              num_workers=self.args.num_workers)
         if getattr(self.args, "concatenate_cuts", False):
             logging.warning(
                 "--concatenate-cuts is a no-op here: bucketed static-shape "

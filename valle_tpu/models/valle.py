@@ -566,6 +566,97 @@ def _nar_branch(params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
     return nar_loss, nar_acc, total_length
 
 
+def valle_ar_forward_packed(
+    params,
+    cfg: ValleConfig,
+    batch: Dict[str, jnp.ndarray],
+    *,
+    train_stage: int = 1,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = False,
+    compute_dtype=jnp.float32,
+    state: Optional[Dict] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict]:
+    """AR training forward over SEQUENCE-PACKED rows.
+
+    TPU-native throughput path for AR-stage training (no reference
+    counterpart — the reference approximates it with duration-bucketed
+    dynamic batching, ``valle/data/datamodule.py:324-333``): several short
+    utterances share one fixed-shape row, cutting padding waste and
+    keeping ONE compiled shape for the whole epoch.
+
+    batch keys (built by ``data.packing.collate_packed``):
+      ``text`` (B, S) int32 ids, ``text_seg``/``text_pos`` (B, S),
+      ``ar_inputs``/``ar_targets`` (B, T) with -1 at padding targets,
+      ``audio_seg``/``audio_pos`` (B, T), ``row_frames`` (B,).
+
+    Per segment the math matches ``valle_forward``'s AR branch exactly
+    (tested: packed loss == sum of exact-length unpacked losses); the loss
+    differs from a PADDED unpacked batch only in that the reference also
+    counts EOS-after-EOS padding positions (valle.py:877 uses no
+    ignore_index) — packing has no such positions to count.
+    """
+    assert train_stage in (0, 1), "packed forward is AR-only"
+    if cfg.add_prenet:
+        raise NotImplementedError("packed AR rows do not support prenets")
+    state = state or {"ar": {}, "nar": {}}
+    training = not deterministic
+    rngs = (jax.random.split(rng, 4) if rng is not None else [None] * 4)
+    d = cfg.d_model
+    pe_table = _pe_table(cfg, d)
+
+    text = batch["text"].astype(jnp.int32)
+    text_seg = batch["text_seg"].astype(jnp.int32)
+    ar_inputs = batch["ar_inputs"].astype(jnp.int32)
+    ar_targets = batch["ar_targets"].astype(jnp.int32)
+    audio_seg = batch["audio_seg"].astype(jnp.int32)
+
+    x = emb.token_embedding(params["ar"]["text_emb"], text,
+                            dtype=compute_dtype)
+    x = emb.apply_sine_positional_gather(
+        params["ar"]["text_pe"], x, pe_table, batch["text_pos"],
+        dropout_rate=0.1, rng=rngs[0], deterministic=not training)
+    y = emb.token_embedding(params["ar"]["audio_emb"], ar_inputs,
+                            dtype=compute_dtype)
+    y = emb.apply_sine_positional_gather(
+        params["ar"]["audio_pe"], y, pe_table, batch["audio_pos"],
+        dropout_rate=0.1, rng=rngs[1], deterministic=not training)
+
+    bias = M.packed_ar_attn_bias(text_seg, audio_seg)
+    xy = jnp.concatenate([x, y], axis=1)
+    xy_dec = tfm.encoder_stack_apply(
+        params["ar"]["decoder"], xy, bias, None,
+        nhead=cfg.nhead, norm_first=cfg.norm_first,
+        activation=cfg.activation, dropout_rate=cfg.dropout,
+        rng=rngs[2], deterministic=deterministic, dtype=compute_dtype,
+        remat=training)
+    S = text.shape[1]
+    logits = xy_dec[:, S:] @ params["ar"]["predict"]["w"].astype(
+        xy_dec.dtype)  # (B, T, V+1)
+
+    valid = ar_targets >= 0
+    tgt = jnp.maximum(ar_targets, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    ar_loss = jnp.sum(jnp.where(valid, nll, 0.0))
+
+    k = min(10, logits.shape[-1])
+    topk = jax.lax.top_k(logits.astype(jnp.float32), k)[1]
+    hit = jnp.any(topk == tgt[..., None], axis=-1)
+    metric_valid = valid & (tgt != cfg.eos_id)
+    num = jnp.sum(jnp.where(metric_valid, hit, False).astype(jnp.float32))
+    den = jnp.maximum(jnp.sum(metric_valid.astype(jnp.float32)), 1.0)
+
+    metrics = {
+        "ArTop10Accuracy": num / den,
+        "ar_loss": ar_loss,
+        "frames": jnp.sum(batch["row_frames"]).astype(jnp.float32),
+        "utterances": jnp.sum(
+            jnp.max(audio_seg, axis=1) + 1).astype(jnp.float32),
+    }
+    return ar_loss, metrics, state
+
+
 def valle_visualize_outputs(params, cfg, batch, state=None):
     """(encoder output, codes) for the trainer's --visualize.
 

@@ -82,6 +82,30 @@ def apply_sine_positional(
     return out
 
 
+def apply_sine_positional_gather(
+    params,
+    x: jnp.ndarray,
+    pe_table: jnp.ndarray,
+    pos_ids: jnp.ndarray,
+    *,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Per-position variant: x (B, T, D) + alpha * pe[pos_ids].
+
+    ``pos_ids`` (B, T) carries each position's PE index — used by
+    sequence-packed rows where every segment restarts its positions at 0.
+    """
+    alpha = params.get("alpha", jnp.ones((1,), dtype=jnp.float32))
+    pe = jnp.take(pe_table, jnp.maximum(pos_ids, 0), axis=0)
+    out = x + alpha.astype(x.dtype) * pe.astype(x.dtype)
+    if not deterministic and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, out.shape)
+        out = jnp.where(keep, out / (1.0 - dropout_rate), 0.0)
+    return out
+
+
 def dropout(x, rate: float, rng, deterministic: bool):
     if deterministic or rate == 0.0:
         return x

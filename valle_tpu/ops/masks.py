@@ -80,6 +80,44 @@ def padding_attn_bias(
     return bias[:, None, None, :]
 
 
+def packed_ar_attn_bias(
+    text_seg: jnp.ndarray,
+    audio_seg: jnp.ndarray,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """AR mask for SEQUENCE-PACKED ``[text; audio]`` rows.
+
+    Packing puts several utterances in one row (a TPU-native throughput
+    lever the reference's dynamic batching approximates with duration
+    buckets, ``valle/data/datamodule.py:324-333``). ``text_seg`` (B, S) and
+    ``audio_seg`` (B, T) carry per-position segment ids (-1 = padding).
+
+    Per segment the structure matches :func:`ar_xy_attn_bias`: text is
+    bidirectional within its own segment, audio attends its segment's text
+    and causally its own audio; nothing crosses segments. The diagonal is
+    always visible so padded query rows stay finite (their outputs are
+    dropped by the loss mask).
+
+    Returns (B, 1, S+T, S+T) additive bias.
+    """
+    seg = jnp.concatenate([text_seg, audio_seg], axis=1)  # (B, St)
+    S = text_seg.shape[1]
+    St = seg.shape[1]
+    pos = jnp.arange(St)
+    is_y = pos >= S
+
+    same_seg = (seg[:, :, None] == seg[:, None, :]) & (
+        seg[:, :, None] >= 0)  # (B, q, k)
+    q = pos[:, None]
+    k = pos[None, :]
+    text_q_ok = (~is_y[:, None]) & (~is_y[None, :])
+    audio_q_ok = is_y[:, None] & ((~is_y[None, :]) | (k <= q))
+    structure = text_q_ok | audio_q_ok  # (St, St)
+
+    visible = (same_seg & structure[None]) | (q == k)[None]
+    return jnp.where(visible, 0.0, NEG_INF).astype(dtype)[:, None, :, :]
+
+
 def causal_bias(T: int, dtype=jnp.float32) -> jnp.ndarray:
     """(1, 1, T, T) strictly-causal additive bias."""
     q = jnp.arange(T)[:, None]
