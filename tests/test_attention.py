@@ -124,7 +124,9 @@ def test_int8_grouped_kernel_matches_dequant_oracle():
     dequantized cache."""
     from valle_tpu.modules.transformer import quantize_kv
     from valle_tpu.ops.decode_attention_int8_grouped import (
+        combine_kv_int8,
         decode_attention_int8_grouped,
+        stack_scales,
     )
 
     B, H, T, D, S = 8, 4, 512, 64, 40
@@ -138,7 +140,8 @@ def test_int8_grouped_kernel_matches_dequant_oracle():
     wp = jnp.array([300, 120, 60, 440, 95, 511, 200, 47])
 
     out = decode_attention_int8_grouped(
-        q, kq, ksc, vq, vsc, x_lens, wp, S=S, group=8, interpret=True)
+        q, combine_kv_int8(kq, vq), stack_scales(ksc, vsc), x_lens, wp,
+        S=S, group=8, interpret=True)
 
     kk = jnp.arange(T)[None, :]
     valid = (kk < x_lens[:, None]) | ((kk >= S) & (kk <= wp[:, None]))
@@ -225,3 +228,42 @@ def test_ar_decode_int8_cache_close():
                              kv_cache_int8=True)
     agreement = float((np.asarray(base) == np.asarray(i8)).mean())
     assert agreement > 0.9, agreement
+
+
+def test_flash_lens_matches_naive_ar_and_nar():
+    """Inline-mask flash kernel == naive with the equivalent bias arrays."""
+    from valle_tpu.ops import masks as M
+    from valle_tpu.ops.attention import flash_attention_lens
+
+    B, H, St, Ta, D = 2, 4, 128, 128, 64
+    S = St + Ta
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (B, H, S, D))
+    k = jax.random.normal(ks[1], (B, H, S, D))
+    v = jax.random.normal(ks[2], (B, H, S, D))
+    x_lens = jnp.array([St, 70])
+    y_lens = jnp.array([Ta, 90])
+
+    # AR composite mask
+    bias = M.ar_xy_attn_bias(x_lens, y_lens, St, Ta)
+    ref = naive_attention(q, k, v, bias)
+    out = flash_attention_lens(q, k, v, x_lens, y_lens, St, True,
+                               128, 128, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # NAR padding-only mask
+    bias = M.padding_attn_bias(x_lens, y_lens, St, Ta)
+    ref = naive_attention(q, k, v, bias)
+    out = flash_attention_lens(q, k, v, x_lens, y_lens, St, False,
+                               128, 128, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # gradients (bwd recomputes via the bias path)
+    gf = jax.grad(lambda *a: jnp.sum(flash_attention_lens(
+        *a, x_lens, y_lens, St, True, 128, 128, True) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    bias = M.ar_xy_attn_bias(x_lens, y_lens, St, Ta)
+    gr = jax.grad(lambda *a: jnp.sum(
+        naive_attention(*a, bias) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

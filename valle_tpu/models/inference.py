@@ -135,10 +135,18 @@ def valle_ar_decode(
         cache_len=cache_len, norm_first=cfg.norm_first,
         activation=cfg.activation, dtype=dtype)
     if use_decode_kernel and decode_kernel_mode == "int8_grouped":
-        # natural layout, int8 + per-position scales (fused dequant kernel)
+        # combined (L,B,H,T,2Dh) int8 KV + stacked scales (L,B,2H,T),
+        # natural layout: cheap sublane writes + aligned int8 kernel DMAs
+        # (see ops/decode_attention_int8_grouped.py)
+        from ..ops.decode_attention_int8_grouped import (
+            combine_kv_int8,
+            stack_scales,
+        )
+
         kq, ksc = tfm.quantize_kv(cache["k"])
         vq, vsc = tfm.quantize_kv(cache["v"])
-        cache = {"k": kq, "k_scale": ksc, "v": vq, "v_scale": vsc}
+        cache = {"kv": combine_kv_int8(kq, vq),
+                 "scale": stack_scales(ksc, vsc)}
     elif use_decode_kernel:
         # kernel cache layout: (L, B, H, Dh, Tmax) — one-time transpose
         cache = {"k": jnp.swapaxes(cache["k"], -2, -1),

@@ -712,9 +712,13 @@ def encoder_stack_decode_step(
     ``unroll=True`` replaces the fori_loop with a static python loop so
     every layer's weight reads are static slices XLA can prefetch.
 
-    kernel_ctx mode "int8_grouped" uses an int8 cache with per-position
-    scales (cache keys k/v int8 + k_scale/v_scale, NATURAL layout) and the
+    kernel_ctx mode "int8_grouped" uses a COMBINED int8 KV cache with
+    per-position scales (cache keys: kv (L,B,H,T,2Dh) int8 with K in lanes
+    0:Dh and V in lanes Dh:2Dh, scale (L,B,2H,T) with K rows 0:H) for the
     fused-dequant Pallas kernel (ops/decode_attention_int8_grouped.py).
+    The natural layout keeps the per-step write a cheap sublane DUS — the
+    layouts that made the kernel's DMAs simplest made the writes XLA
+    scatters costing more than the read savings.
     """
     L = jax.tree_util.tree_leaves(p["layers"])[0].shape[0]
     B = x.shape[0]
@@ -724,7 +728,8 @@ def encoder_stack_decode_step(
 
     def body(i, carry):
         if int8_mode:
-            h, ck_all, cv_all, ksc_all, vsc_all = carry
+            h, ckv_all, sc_all = carry
+            ck_all = cv_all = None
         else:
             h, ck_all, cv_all = carry
         index = ((lambda a: a[i]) if isinstance(i, int) else
@@ -750,13 +755,13 @@ def encoder_stack_decode_step(
 
             kq, ks = quantize_kv(k)
             vq, vs = quantize_kv(v)
-            ck_all = ck_all.at[i, bidx, :, pos, :].set(kq[:, :, 0, :])
-            cv_all = cv_all.at[i, bidx, :, pos, :].set(vq[:, :, 0, :])
-            ksc_all = ksc_all.at[i, bidx, :, pos].set(ks[:, :, 0])
-            vsc_all = vsc_all.at[i, bidx, :, pos].set(vs[:, :, 0])
+            kvq = jnp.concatenate([kq, vq], axis=-1)   # (B, H, 1, 2Dh)
+            sc = jnp.concatenate([ks, vs], axis=1)     # (B, 2H, 1)
+            ckv_all = ckv_all.at[i, bidx, :, pos, :].set(kvq[:, :, 0, :])
+            sc_all = sc_all.at[i, bidx, :, pos].set(sc[:, :, 0])
             x_lens, write_pos, S, interp, _ = kernel_ctx
             out = decode_attention_int8_grouped(
-                q, ck_all[i], ksc_all[i], cv_all[i], vsc_all[i],
+                q, ckv_all[i], sc_all[i],
                 x_lens, write_pos, S=S, group=8, interpret=interp)
         elif kernel_ctx is not None:
             # kernel cache layout (L, B, H, Dh, Tmax)
@@ -799,12 +804,11 @@ def encoder_stack_decode_step(
                 lp["ffn"], h, activation, dropout_rate=0.0, rng=None,
                 deterministic=True, dtype=dtype), None)
         if int8_mode:
-            return (h, ck_all, cv_all, ksc_all, vsc_all)
+            return (h, ckv_all, sc_all)
         return (h, ck_all, cv_all)
 
     if int8_mode:
-        init = (x, cache["k"], cache["v"], cache["k_scale"],
-                cache["v_scale"])
+        init = (x, cache["kv"], cache["scale"])
     else:
         init = (x, cache["k"], cache["v"])
     if unroll:
@@ -816,8 +820,6 @@ def encoder_stack_decode_step(
     h = carry[0]
     if "final_norm" in p:
         h = apply_norm(p["final_norm"], h, None)
-    out_cache = {"k": carry[1], "v": carry[2]}
     if int8_mode:
-        out_cache["k_scale"] = carry[3]
-        out_cache["v_scale"] = carry[4]
-    return h, out_cache
+        return h, {"kv": carry[1], "scale": carry[2]}
+    return h, {"k": carry[1], "v": carry[2]}

@@ -1,24 +1,37 @@
-"""Int8 grouped-batch Pallas decode attention: the HBM-traffic kernel.
+"""Int8 combined-KV Pallas decode attention: the HBM-traffic kernel.
 
 Decode is KV-cache-read bound (benchmarks/README.md cost model: ~1.4 GB/step
-of bf16 cache reads at B=32/cache 440 vs ~0.3 GB of weights). This kernel
-halves and trims that traffic:
+of bf16 cache reads at B=32/cache 440 vs ~0.3 GB of weights). Three earlier
+shapes of this kernel lost to XLA and shaped this one:
 
-- the cache is stored int8 with per-position scales in the NATURAL
-  (B, H, T, D) layout — the per-step cache write stays a cheap sublane
-  scatter (round 1's transposed layout made it a lane scatter, which XLA
-  realized expensively);
-- dequantization is fused IN-KERNEL: int8 blocks are DMA'd, cast, and the
-  per-position scales are applied to the score/probability matrices after
-  the MXU dots (q.(kq*s) == (q.kq)*s), so no dequantized copy ever touches
-  HBM (round 1's XLA int8 path was slower because XLA materialized the
-  bf16 dequant: int8 read + bf16 write + bf16 read);
-- only blocks up to the GROUP's max write position are read
-  (scalar-prefetched lengths), skipping the unwritten tail of the
-  max_gen_len-sized buffer;
-- G samples ride one grid program: one (G, H, bk, D) DMA per block and one
-  MXU dot per head covers all G samples with block-diagonal masking (the
-  extra FLOPs are free — the loop is bandwidth-bound).
+- round 1's per-sample grid serialized B programs (DMA latency dominated);
+- an int8 cache in the natural (B,H,T,D) layout cannot be DMA-sliced at
+  all: Mosaic tiles int8 as (32,128) and the D=64 head dim is minor;
+- transposed / pre-grouped int8 layouts compile and DMA efficiently but
+  their PER-STEP WRITES become XLA scatters with computed lane indices —
+  measured at ~2.5 ms/step of pure overhead (5.9 vs 3.35 ms). The only
+  cheap write XLA has is the natural layout's sublane DUS, which is what
+  the default path uses.
+
+This design keeps BOTH the cheap write and the aligned int8 read by
+packing K and V side by side in the lane dimension:
+
+- cache (B, H, T, 128) int8 with K in lanes 0:64 and V in lanes 64:128,
+  plus per-position scales (B, H, T) f32 for each. The per-step write is
+  ONE natural-layout sublane DUS per layer (same machinery as the bf16
+  default path); lanes are a full 128 tile so Mosaic slices it fine.
+- the kernel DMAs each group sample's (H, bk, 128) block to a SUBLANE
+  offset g*bk of a shared (H, G*bk, 128) buffer; per head, one MXU dot
+  of the zero-padded query [Qh | 0] (G, 128) against the block (G*bk, 128)
+  yields all pairwise scores (the V lanes contribute exactly zero), and
+  one dot of the masked probabilities recovers [junk | P@V] (G, 128) whose
+  V half is the output. Block-diagonal masking keeps each sample's own
+  columns; the off-diagonal FLOPs are free (the loop is bandwidth-bound).
+- dequantization is fused IN-KERNEL: scales multiply the score /
+  probability matrices after the dots (q.(kq*s) == (q.kq)*s), so no
+  dequantized copy ever touches HBM;
+- only blocks up to the GROUP max write position are read
+  (scalar-prefetched lengths), skipping the unwritten buffer tail.
 
 Exactness: scores differ from the bf16 path only by int8 quantization of
 K/V (q itself stays full precision). Greedy tokens can flip at near-ties;
@@ -33,50 +46,66 @@ import math
 import jax
 import jax.numpy as jnp
 
-BLOCK_K = 128
 NEG_INF = -1e30
+# per-slot KV buffer bytes. The TPU scoped-vmem limit is 16 MiB total and
+# the pallas_call carries ~8 MiB of fixed window overhead at these shapes:
+# bk=256 buffers (9.4 MiB) OOM'd at 17.57/16 MiB, bk=128 compiles and runs.
+_VMEM_BUDGET = 4 * 1024 * 1024
 
 
-def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm, o_ref,
-            *, S, bk, G, sm_scale):
+def _block_k(H: int, G: int, T: int) -> int:
+    """Largest 128-multiple block so the (H, G*bk, 128) slot fits VMEM."""
+    bk = _VMEM_BUDGET // (H * G * 128)
+    bk = max(128, (bk // 128) * 128)
+    return min(bk, T)
+
+
+def combine_kv_int8(kq, vq):
+    """(..., T, D) int8 K and V -> (..., T, 2D) lane-combined cache."""
+    return jnp.concatenate([kq, vq], axis=-1)
+
+
+def stack_scales(ks, vs):
+    """(..., H, T) K and V scales -> (..., 2H, T) sublane-stacked."""
+    return jnp.concatenate([ks, vs], axis=-2)
+
+
+def _kernel(x_lens_ref, wp_ref, q_ref, kv_hbm, sc_hbm, o_ref,
+            *, S, T, bk, G, sm_scale):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     bg = pl.program_id(0)
-    H, _, D = q_ref.shape
+    H, _, D = q_ref.shape          # q (H, G, D); cache lanes are 2D
+    GB = G * bk
 
     wp_max = wp_ref[bg * G]
     for g in range(1, G):
         wp_max = jnp.maximum(wp_max, wp_ref[bg * G + g])
     n_blocks = wp_max // bk + 1
 
-    def body(kbuf, ksbuf, vbuf, vsbuf, sems, m_scr, l_scr, acc_scr):
+    def body(kvbuf, scbuf, sems, m_scr, l_scr, acc_scr):
         def dma(slot, blk, start):
-            pairs = (
-                (k_hbm, kbuf, 0), (ks_hbm, ksbuf, 1),
-                (v_hbm, vbuf, 2), (vs_hbm, vsbuf, 3),
-            )
-            for src, dst, si in pairs:
-                if src.ndim == 4:
-                    cp = pltpu.make_async_copy(
-                        src.at[pl.ds(bg * G, G), :,
-                               pl.ds(blk * bk, bk), :],
-                        dst.at[slot], sems.at[slot, si])
-                else:  # scales (B, H, T)
-                    cp = pltpu.make_async_copy(
-                        src.at[pl.ds(bg * G, G), :, pl.ds(blk * bk, bk)],
-                        dst.at[slot], sems.at[slot, si])
-                cp.start() if start else cp.wait()
+            for g in range(G):
+                pairs = (
+                    (kv_hbm.at[bg * G + g, :, pl.ds(blk * bk, bk), :],
+                     kvbuf.at[slot, :, pl.ds(g * bk, bk), :], 0),
+                    (sc_hbm.at[bg * G + g, :, pl.ds(blk * bk, bk)],
+                     scbuf.at[slot, :, pl.ds(g * bk, bk)], 1),
+                )
+                for src, dst, si in pairs:
+                    cp = pltpu.make_async_copy(src, dst, sems.at[slot, si, g])
+                    cp.start() if start else cp.wait()
 
         dma(0, 0, True)
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-        # block-diagonal (own-sample) + validity masks, shared by heads;
-        # f32 mask math (Mosaic rejects some i1 vector casts)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (G, G * bk), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (G, G * bk), 0)
+        # (G, G*bk) masks, shared by heads; f32 mask math (Mosaic rejects
+        # some i1 vector casts)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (G, GB), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (G, GB), 0)
         own_f = jnp.where((lane // bk) == row, 1.0, 0.0)
 
         def loop(blk, _):
@@ -100,15 +129,15 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm, o_ref,
                 valid_f = valid_f * (1.0 - row_g * (1.0 - vg))
 
             for h in range(H):
-                # (G, bk, D) int8 -> (G*bk, D) f32; scales (G, bk)->(G*bk,)
-                Kh = kbuf[slot, :, h].reshape(G * bk, D).astype(jnp.float32)
-                Vh = vbuf[slot, :, h].reshape(G * bk, D).astype(jnp.float32)
-                ksh = ksbuf[slot, :, h].reshape(1, G * bk)
-                vsh = vsbuf[slot, :, h].reshape(1, G * bk)
+                KVh = kvbuf[slot, h].astype(jnp.float32)   # (G*bk, 2D)
+                ksh = scbuf[slot, h].reshape(1, GB)
+                vsh = scbuf[slot, H + h].reshape(1, GB)
                 Qh = q_ref[h].astype(jnp.float32)          # (G, D)
+                Q2 = jnp.concatenate(
+                    [Qh, jnp.zeros_like(Qh)], axis=1)      # (G, 2D)
                 s = jax.lax.dot_general(
-                    Qh, Kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    Q2, KVh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (G, G*bk)
                 s = s * ksh * sm_scale                     # dequant scores
                 s = s * valid_f + (1.0 - valid_f) * NEG_INF
                 m_prev = m_scr[h]
@@ -118,9 +147,10 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm, o_ref,
                 alpha = jnp.exp(m_prev - m_new)
                 l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=-1,
                                                       keepdims=True)
-                acc_scr[h] = acc_scr[h] * alpha + jax.lax.dot_general(
-                    p * vsh, Vh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                pv = jax.lax.dot_general(
+                    p * vsh, KVh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (G, 2D)
+                acc_scr[h] = acc_scr[h] * alpha + pv[:, D:]
                 m_scr[h] = m_new
             return _
 
@@ -133,11 +163,9 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm, o_ref,
 
     pl.run_scoped(
         body,
-        kbuf=pltpu.VMEM((2, G, H, bk, D), k_hbm.dtype),
-        ksbuf=pltpu.VMEM((2, G, H, bk), ks_hbm.dtype),
-        vbuf=pltpu.VMEM((2, G, H, bk, D), v_hbm.dtype),
-        vsbuf=pltpu.VMEM((2, G, H, bk), vs_hbm.dtype),
-        sems=pltpu.SemaphoreType.DMA((2, 4)),
+        kvbuf=pltpu.VMEM((2, H, GB, 2 * D), kv_hbm.dtype),
+        scbuf=pltpu.VMEM((2, 2 * H, GB), sc_hbm.dtype),
+        sems=pltpu.SemaphoreType.DMA((2, 2, G)),
         m_scr=pltpu.VMEM((H, G, 1), jnp.float32),
         l_scr=pltpu.VMEM((H, G, 1), jnp.float32),
         acc_scr=pltpu.VMEM((H, G, D), jnp.float32),
@@ -145,21 +173,24 @@ def _kernel(x_lens_ref, wp_ref, q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm, o_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("S", "group", "block_k", "interpret"))
-def decode_attention_int8_grouped(q, k_cache, k_scale, v_cache, v_scale,
+                   static_argnames=("S", "group", "interpret"))
+def decode_attention_int8_grouped(q, kv_cache, scales,
                                   x_lens, write_pos, *, S: int,
-                                  group: int = 8, block_k: int = BLOCK_K,
+                                  group: int = 8,
                                   interpret: bool = False):
-    """q: (B, H, 1, D); k/v_cache (B, H, T, D) int8 (NATURAL layout);
-    k/v_scale (B, H, T) f32. Returns (B, H, 1, D). Requires B % group == 0
-    and T % block_k == 0."""
+    """q: (B, H, 1, D); kv_cache (B, H, T, 2D) int8 (K lanes 0:D, V lanes
+    D:2D, natural layout — see ``combine_kv_int8``); scales (B, 2H, T) f32
+    (K rows 0:H, V rows H:2H — see ``stack_scales``).
+    Returns (B, H, 1, D). Requires B % group == 0 and T % 128 == 0."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, H, T, D = k_cache.shape
+    B, H, T, D2 = kv_cache.shape
+    D = D2 // 2
     G = group
-    assert B % G == 0 and T % block_k == 0, (B, G, T, block_k)
+    assert B % G == 0 and T % 128 == 0, (B, G, T)
     sm_scale = 1.0 / math.sqrt(D)
+    bk = _block_k(H, G, T)
 
     q_t = jnp.transpose(q[:, :, 0, :], (1, 0, 2))  # (H, B, D)
 
@@ -171,13 +202,11 @@ def decode_attention_int8_grouped(q, k_cache, k_scale, v_cache, v_scale,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((H, G, D), lambda bg, *_: (0, bg, 0),
                                memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(_kernel, S=S, bk=block_k, G=G,
+    kernel = functools.partial(_kernel, S=S, T=T, bk=bk, G=G,
                                sm_scale=sm_scale)
     out = pl.pallas_call(
         kernel,
@@ -185,6 +214,5 @@ def decode_attention_int8_grouped(q, k_cache, k_scale, v_cache, v_scale,
         out_shape=jax.ShapeDtypeStruct((H, B, D), q.dtype),
         interpret=interpret,
     )(x_lens.astype(jnp.int32), write_pos.astype(jnp.int32), q_t,
-      k_cache, k_scale.astype(jnp.float32), v_cache,
-      v_scale.astype(jnp.float32))
+      kv_cache, scales.astype(jnp.float32))
     return jnp.transpose(out, (1, 0, 2))[:, :, None, :]
