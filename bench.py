@@ -43,13 +43,27 @@ def main():
     prompt_q0 = jax.random.randint(ks[1], (B, P), 0, 1024, dtype=jnp.int32)
     prompt_lens = jnp.full((B,), P, jnp.int32)
 
+    # fastest shipped decode: combined-KV int8 cache + fused-dequant Pallas
+    # kernel (ops/decode_attention_int8_grouped.py; 19% over XLA at cache
+    # 1024, ~2% at this config's cache 512). Falls back to the exact XLA
+    # path if the kernel fails to compile on this backend.
+    decode_kw = {"use_decode_kernel": True,
+                 "decode_kernel_mode": "int8_grouped"}
+
     def run(rng):
         return valle_ar_decode(
             params, cfg, text, text_lens, prompt_q0, prompt_lens, rng,
             top_k=10, temperature=1.0, max_gen_len=GEN,
-            compute_dtype=jnp.bfloat16, force_full_length=True)
+            compute_dtype=jnp.bfloat16, force_full_length=True, **decode_kw)
 
     import numpy as np
+
+    try:
+        np.asarray(run(jax.random.fold_in(ks[2], 0))[0])
+    except Exception as e:  # pragma: no cover - backend-specific
+        print(f"# int8 decode kernel unavailable ({type(e).__name__}); "
+              "falling back to the exact XLA path", flush=True)
+        decode_kw.clear()
 
     # Timing methodology (hard-won on this backend):
     # - jax.block_until_ready does NOT wait on the tunnel backend (it

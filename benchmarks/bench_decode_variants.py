@@ -28,10 +28,12 @@ def main():
     from valle_tpu.models import ValleConfig, init_valle
     from valle_tpu.models.inference import valle_ar_decode
 
-    variants = sys.argv[1:] or ["base", "unroll", "int8_grouped",
-                                "int8_unroll"]
+    args = sys.argv[1:]
+    long_cfg = "long" in args  # cache 1024 instead of 512: GEN=600 (8 s)
+    variants = [a for a in args if a != "long"] or [
+        "base", "unroll", "int8_grouped", "int8_unroll"]
 
-    B, S, P, GEN = 32, 64, 225, 150
+    B, S, P, GEN = 32, 64, 225, (600 if long_cfg else 150)
     cfg = ValleConfig(d_model=1024, nhead=16, num_layers=12, prefix_mode=1,
                       num_quantizers=8, max_len=4096)
     params, _ = init_valle(jax.random.PRNGKey(0), cfg)

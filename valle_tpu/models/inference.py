@@ -497,8 +497,15 @@ def valle_inference(
     rng: Optional[jax.Array] = None,
     max_gen_len: int = 1024,
     compute_dtype=jnp.float32,
+    decode_mode: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full zero-shot synthesis: AR decode then NAR refinement.
+
+    ``decode_mode``: "exact" (reference-parity default), "unroll"
+    (token-exact, statically unrolled layer loop), or "int8" (fastest:
+    combined-KV int8 cache + fused-dequant Pallas kernel — 19% faster at
+    cache 1024, tokens may flip at near-ties; needs valle + B % 8 == 0,
+    silently falls back to exact otherwise).
 
     Returns (codes (B, max_gen_len, Q), gen_lens (B,)).
     """
@@ -506,10 +513,17 @@ def valle_inference(
         rng = jax.random.PRNGKey(0)
     ar_decode = (vallf_ar_decode if cfg.model_name == "vallf"
                  else valle_ar_decode)
+    ar_kw = {}
+    if cfg.model_name != "vallf":
+        if decode_mode == "unroll":
+            ar_kw = {"unroll_layers": True}
+        elif decode_mode == "int8":
+            ar_kw = {"use_decode_kernel": True,
+                     "decode_kernel_mode": "int8_grouped"}
     gen_q0, gen_lens = ar_decode(
         params, cfg, text, text_lens, prompt_codes[..., 0], prompt_lens,
         rng, top_k=top_k, temperature=temperature, max_gen_len=max_gen_len,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, **ar_kw)
     if cfg.num_quantizers == 1:
         return gen_q0[..., None], gen_lens
 

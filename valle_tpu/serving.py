@@ -51,7 +51,8 @@ class Synthesizer:
     def __init__(self, model, params, text_tokenizer, text_collater,
                  audio_tokenizer, *, top_k: int = -100,
                  temperature: float = 1.0, max_gen_len: int = 1024,
-                 compute_dtype=None, seed: int = 0):
+                 compute_dtype=None, seed: int = 0,
+                 decode_mode: str = "exact"):
         import jax
         import jax.numpy as jnp
 
@@ -64,6 +65,9 @@ class Synthesizer:
         self.temperature = temperature
         self.max_gen_len = max_gen_len
         self.compute_dtype = compute_dtype or jnp.bfloat16
+        # "exact" | "unroll" (token-exact) | "int8" (fastest; int8 KV
+        # cache, needs batch % 8 == 0 — see models.inference.valle_inference)
+        self.decode_mode = decode_mode
         self._rng = jax.random.PRNGKey(seed)
 
     @classmethod
@@ -142,7 +146,8 @@ class Synthesizer:
             enroll_x_lens=jnp.asarray(enroll_lens),
             top_k=self.top_k, temperature=self.temperature,
             rng=step_rng, max_gen_len=gen_budget,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype,
+            decode_mode=self.decode_mode)
         codes = np.asarray(codes)
         gen_lens = np.asarray(gen_lens)
 
