@@ -43,3 +43,42 @@ def test_synthesize_batch(tmp_path):
     # second call reuses compiled programs (same bucket shapes)
     results2 = synth.synthesize(reqs[:2], max_gen_len=16)
     assert len(results2) == 2
+
+
+def test_synthesize_batch_dp_mesh():
+    """DP-sharded serving over the virtual 8-device mesh: identical tokens
+    to the single-device path."""
+    import jax.numpy as jnp
+
+    from valle_tpu.parallel.mesh import make_mesh
+
+    cfg = ValleConfig(d_model=32, nhead=2, num_layers=2, prefix_mode=1,
+                      num_quantizers=8, max_len=512, max_prefix_len=8)
+    model = ValleModel(cfg)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    tokenizer = TextTokenizer(backend="char")
+    collater = TextTokenCollater(sorted(set("abcdefghijklmnopqrstuvwxyz_")))
+    audio_tok = AudioTokenizer()
+
+    rng = np.random.RandomState(0)
+    reqs = [SynthesisRequest(text=t, prompt_codes=rng.randint(0, 1024, (5, 8)))
+            for t in ("hello there", "another one", "third request")]
+
+    base = Synthesizer(model, params, tokenizer, collater, audio_tok,
+                       top_k=5, max_gen_len=32, compute_dtype=jnp.float32,
+                       seed=7)
+    sharded = Synthesizer(model, params, tokenizer, collater, audio_tok,
+                          top_k=5, max_gen_len=32,
+                          compute_dtype=jnp.float32, seed=7,
+                          mesh=make_mesh(tp=1))
+    r0 = base.synthesize(reqs, max_gen_len=16)
+    r1 = sharded.synthesize(reqs, max_gen_len=16)  # 3 reqs pad to 8 shards
+    assert len(r1) == 3
+    for a, b in zip(r0, r1):
+        np.testing.assert_array_equal(a.codes, b.codes)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        Synthesizer(model, params, tokenizer, collater, audio_tok,
+                    decode_mode="int8", mesh=make_mesh(tp=1))

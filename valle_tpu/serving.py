@@ -52,11 +52,25 @@ class Synthesizer:
                  audio_tokenizer, *, top_k: int = -100,
                  temperature: float = 1.0, max_gen_len: int = 1024,
                  compute_dtype=None, seed: int = 0,
-                 decode_mode: str = "exact"):
+                 decode_mode: str = "exact", mesh=None):
         import jax
         import jax.numpy as jnp
 
         self.model = model
+        # mesh: a ('data','model') jax.sharding.Mesh scales one serving
+        # process over all local chips — requests shard over 'data', params
+        # carry the TP rules ('model' axis; replicated at tp=1). The int8
+        # decode kernel is a Pallas custom call XLA cannot partition, so it
+        # is mesh-exclusive.
+        self.mesh = mesh
+        if mesh is not None:
+            if decode_mode == "int8":
+                raise ValueError(
+                    "decode_mode='int8' is single-device (Pallas custom "
+                    "calls do not partition); use 'exact' or 'unroll'")
+            from .parallel.mesh import param_shardings
+
+            params = jax.device_put(params, param_shardings(params, mesh))
         self.params = params
         self.text_tokenizer = text_tokenizer
         self.text_collater = text_collater
@@ -138,6 +152,21 @@ class Synthesizer:
         gen_budget = max_gen_len or min(
             self.max_gen_len, _round_up(int(text_lens.max()) * 16 + 2, 64))
 
+        batch = [text_ids, text_lens, prompts, p_lens, enroll_lens]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = self.mesh.shape["data"]
+            B = len(reqs)
+            Bp = -(-B // dp) * dp
+            if Bp != B:  # pad to the data axis by repeating request 0
+                batch = [np.concatenate(
+                    [a, np.repeat(a[:1], Bp - B, axis=0)]) for a in batch]
+            batch = [jax.device_put(a, NamedSharding(
+                self.mesh, P("data", *(None,) * (a.ndim - 1))))
+                for a in batch]
+        text_ids, text_lens, prompts, p_lens, enroll_lens = batch
+
         self._rng, step_rng = jax.random.split(self._rng)
         codes, gen_lens = valle_inference(
             self.params, self.model.cfg,
@@ -148,8 +177,8 @@ class Synthesizer:
             rng=step_rng, max_gen_len=gen_budget,
             compute_dtype=self.compute_dtype,
             decode_mode=self.decode_mode)
-        codes = np.asarray(codes)
-        gen_lens = np.asarray(gen_lens)
+        codes = np.asarray(codes)[: len(reqs)]   # drop mesh padding rows
+        gen_lens = np.asarray(gen_lens)[: len(reqs)]
 
         # decode the whole batch on-device, then trim per request
         wavs = self.audio_tokenizer.decode(codes)
