@@ -44,13 +44,22 @@ def main():
 
     state = {"i": 0}
 
+    import sys
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "int8"
+    ar_kw = {"int8": {"use_decode_kernel": True,
+                      "decode_kernel_mode": "int8_grouped"},
+             "unroll": {"unroll_layers": True},
+             "exact": {}}[mode]
+    print(f"AR decode mode: {mode}", flush=True)
+
     def ar():
         state["i"] += 1
         return valle_ar_decode(
             params, cfg, text, text_lens, prompts[..., 0], p_lens,
             jax.random.fold_in(ks[2], state["i"]),
             top_k=10, max_gen_len=GEN, compute_dtype=jnp.bfloat16,
-            force_full_length=True)
+            force_full_length=True, **ar_kw)
 
     gen_q0, gen_lens = ar()
     t_ar = timeit(ar)

@@ -156,6 +156,7 @@ def test_infer_cli(dataset_dir, tokenized_dir, trained_dir):
         "--text", "testing speech",
         "--top-k", "5",
         "--max-gen-len", "24",
+        "--decode-mode", "unroll",
         "--output-dir", str(out_dir),
     ]
     _run_main(infer_main, argv)

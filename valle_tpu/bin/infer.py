@@ -59,6 +59,10 @@ def get_parser():
     parser.add_argument("--semantic-tokens", type=str, default=None)
     parser.add_argument("--output-dir", type=str, default="infer/demos")
     parser.add_argument("--max-gen-len", type=int, default=1024)
+    parser.add_argument("--decode-mode", type=str, default="exact",
+                        help="exact | unroll (token-exact, faster) | int8 "
+                             "(fastest; needs batch %% 8 == 0, falls back "
+                             "to exact at the CLI's batch 1).")
     parser.add_argument("--seed", type=int, default=0)
     from ..models import add_model_arguments
 
@@ -167,7 +171,8 @@ def main():
                     enroll_x_lens=jnp.asarray(enroll_x_lens),
                     top_k=args.top_k, temperature=args.temperature,
                     rng=jax.random.fold_in(rng, k),
-                    max_gen_len=args.max_gen_len)
+                    max_gen_len=args.max_gen_len,
+                    decode_mode=args.decode_mode)
                 gl = int(out_lens[0])
                 wav = audio_tokenizer.decode(np.asarray(codes[:, :gl]))[0]
                 Path(audio_path).parent.mkdir(parents=True, exist_ok=True)
@@ -207,7 +212,8 @@ def main():
                 enroll_x_lens=jnp.asarray(enroll_x_lens),
                 top_k=args.top_k, temperature=args.temperature,
                 rng=jax.random.fold_in(rng, n),
-                max_gen_len=args.max_gen_len)
+                max_gen_len=args.max_gen_len,
+                decode_mode=args.decode_mode)
         gl = int(out_lens[0])
         if gl == 0:
             logging.warning(f"utterance {n}: empty generation")

@@ -517,7 +517,7 @@ def valle_inference(
     if cfg.model_name != "vallf":
         if decode_mode == "unroll":
             ar_kw = {"unroll_layers": True}
-        elif decode_mode == "int8":
+        elif decode_mode == "int8" and text.shape[0] % 8 == 0:
             ar_kw = {"use_decode_kernel": True,
                      "decode_kernel_mode": "int8_grouped"}
     gen_q0, gen_lens = ar_decode(
