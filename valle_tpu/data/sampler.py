@@ -9,6 +9,13 @@ duration-sorted buckets, reshuffled each epoch.
 TPU-first difference (SURVEY §2.4): every batch is padded to its bucket's
 quantized (text_len, audio_len) shape — the set of compiled shapes is
 bounded by num_buckets instead of being arbitrary per batch.
+
+The text pad multiple matters more than it looks: each distinct
+(text, audio) combination is a separate multi-minute XLA compile on this
+backend, and a 16-multiple produced ~5 text variants per audio bucket
+(29 compiled shapes over a 50-batch epoch, measured in
+benchmarks/bench_train_packing.py). 64 keeps the set near one per bucket
+at negligible extra padding (text is short next to audio).
 """
 
 from __future__ import annotations
@@ -40,6 +47,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# allowed batch sizes (ratio <= 1.34 so at most ~25% of a batch is deferred
+# back to the bucket, never dropped)
+_BATCH_GRID = (1, 2, 3, 4, 6, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64, 96,
+               128, 192, 256)
+
+
+def _grid_down(b: int) -> int:
+    for g in reversed(_BATCH_GRID):
+        if g <= b:
+            return g
+    return 1
+
+
 class DynamicBucketingSampler:
     def __init__(
         self,
@@ -53,7 +73,7 @@ class DynamicBucketingSampler:
         frame_shift: float = 320.0 / 24000,
         tokens_per_second: float = 20.0,   # text-pad heuristic
         audio_multiple: int = 32,
-        text_multiple: int = 16,
+        text_multiple: int = 64,
         seed: int = 0,
         world_size: int = 1,
         rank: int = 0,
@@ -115,15 +135,26 @@ class DynamicBucketingSampler:
         for bi, bucket in enumerate(buckets):
             cur: List[Cut] = []
             cost = 0.0
-            for c in bucket:
+            pending = list(bucket)
+            i = 0
+            while i < len(pending):
+                c = pending[i]
+                i += 1
                 cc = _quadratic_cost(c.duration, self.quadratic_duration)
                 if cur and cost + cc > self.max_duration:
-                    batches.append(self._finalize(bi, cur))
+                    # quantize the batch size to the grid (every distinct
+                    # (B, text, audio) triple is a separate multi-minute
+                    # XLA compile); overflow cuts go back into the bucket
+                    keep = _grid_down(len(cur))
+                    pending[i:i] = cur[keep:]
+                    batches.append(self._finalize(bi, cur[:keep]))
                     cur, cost = [], 0.0
                 cur.append(c)
                 cost += cc
-            if cur and not self.drop_last:
-                batches.append(self._finalize(bi, cur))
+            while cur and not self.drop_last:
+                keep = _grid_down(len(cur))  # tails are grid-sized too
+                batches.append(self._finalize(bi, cur[:keep]))
+                cur = cur[keep:]
         if self.shuffle:
             rng.shuffle(batches)
         # data-parallel sharding across processes (lhotse-style modulo),
@@ -140,11 +171,17 @@ class DynamicBucketingSampler:
     def _finalize(self, bucket_idx: int, cuts: List[Cut]) -> Batch:
         max_dur = max(c.duration for c in cuts)
         # quantize to the bucket's upper boundary => bounded shape set
-        ub = (self.boundaries[bucket_idx]
-              if bucket_idx < len(self.boundaries) else max_dur)
+        top = bucket_idx >= len(self.boundaries)
+        ub = max_dur if top else self.boundaries[bucket_idx]
         pad_dur = max(max_dur, ub)
-        frames = _round_up(int(round(pad_dur / self.frame_shift)) + 1,
-                           self.audio_multiple)
+        frames = int(round(pad_dur / self.frame_shift)) + 1
+        # batches above their bucket boundary and the unbounded top bucket
+        # would otherwise produce one shape per batch — snap them to a
+        # coarse 4x grid (each extra shape is a multi-minute compile on
+        # this backend)
+        mult = (self.audio_multiple if not top and max_dur <= ub
+                else 4 * self.audio_multiple)
+        frames = _round_up(frames, mult)
         toks = max((len(c.tokens) if c.tokens else 0) + 2 for c in cuts)
         toks = _round_up(toks, self.text_multiple)
         return Batch(cuts=cuts, pad_audio_to=frames, pad_text_to=toks)
