@@ -30,10 +30,11 @@ def main():
 
     args = sys.argv[1:]
     long_cfg = "long" in args  # cache 1024 instead of 512: GEN=600 (8 s)
-    variants = [a for a in args if a != "long"] or [
+    b128 = "b128" in args      # serving-throughput batch
+    variants = [a for a in args if a not in ("long", "b128")] or [
         "base", "unroll", "int8_grouped", "int8_unroll"]
 
-    B, S, P, GEN = 32, 64, 225, (600 if long_cfg else 150)
+    B, S, P, GEN = (128 if b128 else 32), 64, 225, (600 if long_cfg else 150)
     cfg = ValleConfig(d_model=1024, nhead=16, num_layers=12, prefix_mode=1,
                       num_quantizers=8, max_len=4096)
     params, _ = init_valle(jax.random.PRNGKey(0), cfg)
