@@ -9,8 +9,10 @@ dl_dir=${dl_dir:-download}
 corpus_dir=${corpus_dir:-$dl_dir/LibriTTS}
 train_parts=${train_parts:-train-clean-100,train-clean-360,train-other-500}
 dl_parts=${dl_parts:-dev-clean,test-clean,$train_parts}
-manifests=data/manifests
-tokenized=data/tokenized
+text_extractor=${text_extractor:-espeak}
+data_dir=${data_dir:-data}
+manifests=$data_dir/manifests
+tokenized=$data_dir/tokenized
 
 cd "$(dirname "$0")"
 export PYTHONPATH="$(pwd)/../..:${PYTHONPATH:-}"
@@ -43,7 +45,7 @@ if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
   echo "Stage 2: tokenize (EnCodec on TPU + espeak)"
   python3 -m valle_tpu.bin.tokenizer \
     --src-dir $manifests --output-dir $tokenized \
-    --audio-extractor Encodec --text-extractor espeak \
+    --audio-extractor Encodec --text-extractor $text_extractor \
     --batch-duration 400
 fi
 

@@ -6,8 +6,10 @@ stage=${stage:-0}
 stop_stage=${stop_stage:-3}
 dl_dir=${dl_dir:-download}
 corpus_dir=${corpus_dir:-$dl_dir/LJSpeech-1.1}
-manifests=data/manifests
-tokenized=data/tokenized
+text_extractor=${text_extractor:-espeak}
+data_dir=${data_dir:-data}
+manifests=$data_dir/manifests
+tokenized=$data_dir/tokenized
 
 cd "$(dirname "$0")"
 export PYTHONPATH="$(pwd)/../..:${PYTHONPATH:-}"
@@ -37,7 +39,7 @@ if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
   echo "Stage 2: tokenize (EnCodec codes on TPU + espeak phonemes)"
   python3 -m valle_tpu.bin.tokenizer \
     --src-dir $manifests --output-dir $tokenized \
-    --audio-extractor Encodec --text-extractor espeak \
+    --audio-extractor Encodec --text-extractor $text_extractor \
     --batch-duration 400
 fi
 

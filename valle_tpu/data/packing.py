@@ -194,6 +194,10 @@ class PackedSpeechDataset:
         row_frames = np.zeros((B,), np.int32)
 
         flat = [c for row in rows for c in row]
+        for cut in flat:
+            assert cut.tokens is not None, (
+                f"cut {cut.id} has no text tokens; run the offline "
+                f"tokenizer first")
         if flat:
             feats, f_lens = self.strategy(flat)
             feats = np.asarray(feats)

@@ -502,10 +502,12 @@ def valle_inference(
     """Full zero-shot synthesis: AR decode then NAR refinement.
 
     ``decode_mode``: "exact" (reference-parity default), "unroll"
-    (token-exact, statically unrolled layer loop), or "int8" (fastest:
-    combined-KV int8 cache + fused-dequant Pallas kernel — 19% faster at
-    cache 1024, tokens may flip at near-ties; needs valle + B % 8 == 0,
-    silently falls back to exact otherwise).
+    (token-exact, statically unrolled layer loop), or "int8" (combined-KV
+    int8 cache + fused-dequant Pallas kernel — 19% faster at B=32/cache
+    1024, tokens may flip at near-ties; needs valle + B % 8 == 0, silently
+    falls back to exact otherwise). int8 wins at B <= ~32 and long caches;
+    at large batch (measured B=128) XLA's batched matmuls win — prefer
+    "exact"/"unroll" there (BASELINE.md).
 
     Returns (codes (B, max_gen_len, Q), gen_lens (B,)).
     """
