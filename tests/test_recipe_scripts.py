@@ -57,3 +57,77 @@ def test_ljspeech_prepare_sh(tmp_path):
     assert feats.shape == (c.features.num_frames, 8)
     assert (data_dir / "tokenized"
             / "unique_text_tokens.k2symbols").exists()
+
+
+def _sine_wav(path, dur, sr=24000, f0=220, seed=0):
+    rng = np.random.RandomState(seed)
+    n = int(dur * sr)
+    t = np.arange(n) / sr
+    w = (0.3 * np.sin(2 * np.pi * f0 * t)
+         + 0.04 * rng.randn(n)).astype(np.float32)
+    native.write_wav(path, w, sr)
+
+
+def test_libritts_prepare_sh(tmp_path):
+    """LibriTTS layout: <part>/<speaker>/<book>/*.wav + .normalized.txt."""
+    corpus = tmp_path / "LibriTTS"
+    for part, n in (("train-clean-100", 6), ("dev-clean", 2),
+                    ("test-clean", 2)):
+        for i in range(n):
+            spk, book = 100 + i % 3, 200 + i
+            d = corpus / part / str(spk) / str(book)
+            d.mkdir(parents=True, exist_ok=True)
+            uid = f"{spk}_{book}_000001_000000"
+            _sine_wav(d / f"{uid}.wav", 0.6 + 0.1 * i, seed=i)
+            (d / f"{uid}.normalized.txt").write_text("hello from libritts")
+    data_dir = tmp_path / "data"
+    env = dict(os.environ)
+    env.update(stage="1", stop_stage="3", corpus_dir=str(corpus),
+               text_extractor="char", data_dir=str(data_dir),
+               train_parts="train-clean-100")
+    proc = subprocess.run(
+        ["bash", str(REPO / "egs/libritts/prepare.sh")],
+        env=env, capture_output=True, text=True, timeout=500)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    from valle_tpu.data.manifests import CutSet
+
+    cuts = CutSet.from_file(data_dir / "tokenized" / "cuts_train.jsonl.gz")
+    assert len(cuts) == 6 and cuts[0].tokens
+    assert cuts[0].load_features().shape[1] == 8
+    assert len(CutSet.from_file(
+        data_dir / "tokenized" / "cuts_dev.jsonl.gz")) == 2
+
+
+def test_aishell1_prepare_sh(tmp_path):
+    """AIShell-1 layout: wav/{split}/S*/*.wav + transcript file."""
+    corpus = tmp_path / "aishell"
+    lines = []
+    for split, n in (("train", 5), ("dev", 2), ("test", 2)):
+        for i in range(n):
+            spk = f"S{i % 2:04d}"
+            d = corpus / "wav" / split / spk
+            d.mkdir(parents=True, exist_ok=True)
+            uid = f"BAC009{split[:2].upper()}{i:04d}"
+            _sine_wav(d / f"{uid}.wav", 0.5 + 0.1 * i, sr=16000, seed=i)
+            lines.append(f"{uid} 你 好 世 界")
+    tdir = corpus / "transcript"
+    tdir.mkdir(parents=True)
+    (tdir / "aishell_transcript_v0.8.txt").write_text(
+        "\n".join(lines), encoding="utf-8")
+    data_dir = tmp_path / "data"
+    env = dict(os.environ)
+    env.update(stage="1", stop_stage="3", corpus_dir=str(corpus),
+               text_extractor="char", data_dir=str(data_dir))
+    proc = subprocess.run(
+        ["bash", str(REPO / "egs/aishell1/prepare.sh")],
+        env=env, capture_output=True, text=True, timeout=500)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    from valle_tpu.data.manifests import CutSet
+
+    cuts = CutSet.from_file(data_dir / "tokenized" / "cuts_train.jsonl.gz")
+    assert len(cuts) == 5
+    assert cuts[0].tokens  # char backend over the hanzi transcript
+    # 16 kHz source resampled to 24 kHz before EnCodec
+    assert cuts[0].load_features().shape[1] == 8
