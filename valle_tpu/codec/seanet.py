@@ -149,28 +149,20 @@ def init_lstm(rng, dim: int, num_layers: int = 2):
 
 
 def lstm_apply(p, x: jnp.ndarray, skip: bool = True) -> jnp.ndarray:
-    """x: (B, T, C) -> (B, T, C); torch LSTM gate order i,f,g,o.
-
-    The input projection is hoisted out of the scan: one (B*T, C)x(C, 4C)
-    MXU matmul for all timesteps, leaving only the recurrent h @ w_hh in
-    the sequential cell — the scan was doing two matmuls per step and the
-    input one has no sequential dependency.
-    """
+    """x: (B, T, C) -> (B, T, C); torch LSTM gate order i,f,g,o."""
     B, T, C = x.shape
 
     def layer(x, lp):
-        xi = x @ lp["w_ih"] + lp["b_ih"]          # (B, T, 4C), all steps
-
-        def cell(carry, xit):
+        def cell(carry, xt):
             h, c = carry
-            gates = xit + h @ lp["w_hh"] + lp["b_hh"]
+            gates = xt @ lp["w_ih"] + lp["b_ih"] + h @ lp["w_hh"] + lp["b_hh"]
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
             h = jax.nn.sigmoid(o) * jnp.tanh(c)
             return (h, c), h
 
         h0 = jnp.zeros((B, C), x.dtype)
-        (_, _), ys = jax.lax.scan(cell, (h0, h0), jnp.swapaxes(xi, 0, 1))
+        (_, _), ys = jax.lax.scan(cell, (h0, h0), jnp.swapaxes(x, 0, 1))
         return jnp.swapaxes(ys, 0, 1)
 
     y = x
