@@ -46,7 +46,8 @@ def main():
 
     import sys
 
-    mode = sys.argv[1] if len(sys.argv) > 1 else "int8"
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    mode = pos[0] if pos else "int8"
     ar_kw = {"int8": {"use_decode_kernel": True,
                       "decode_kernel_mode": "int8_grouped"},
              "unroll": {"unroll_layers": True},
@@ -78,10 +79,13 @@ def main():
     ccfg = EncodecConfig()
     cparams = init_encodec(jax.random.PRNGKey(3), ccfg)
 
+    codec_dtype = (jnp.bfloat16 if "--codec-bf16" in sys.argv
+                   else jnp.float32)
+
     def codec():
         state["i"] += 1
         c = codes.at[0, 0, 0].set(state["i"] % 1024)
-        return encodec_decode(cparams, c, cfg=ccfg)
+        return encodec_decode(cparams, c, cfg=ccfg, dtype=codec_dtype)
 
     t_codec = timeit(codec)
 

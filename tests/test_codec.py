@@ -172,3 +172,21 @@ def test_weight_norm_folding_matches_torch():
     folded = _fold_weight_norm(sd, "c")
     np.testing.assert_allclose(folded, conv.weight.detach().numpy(),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_decode_bf16_close_to_fp32(params):
+    """bf16 decoder path: same length, ~40 dB SNR vs the fp32 reference.
+
+    The threshold is far below EnCodec's own quantization noise; a wrong
+    cast (e.g. accumulating in bf16 or skipping the fp32 output cast)
+    drops SNR well under 30 dB.
+    """
+    codes = jax.random.randint(jax.random.PRNGKey(3), (2, 50, 8), 0, 1024)
+    ref = np.asarray(encodec_decode(params, codes, cfg=CFG))
+    out = encodec_decode(params, codes, cfg=CFG, dtype=jnp.bfloat16)
+    assert out.dtype == jnp.float32
+    out = np.asarray(out)
+    assert out.shape == ref.shape
+    err = np.mean((out - ref) ** 2)
+    snr_db = 10 * np.log10(np.mean(ref ** 2) / (err + 1e-30))
+    assert snr_db > 30.0, snr_db

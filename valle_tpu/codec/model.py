@@ -80,11 +80,23 @@ def encodec_encode(params, wav: jnp.ndarray, *, cfg: EncodecConfig,
     return rvq.rvq_encode(params["quantizer"], z, n_q)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def encodec_decode(params, codes: jnp.ndarray, *,
-                   cfg: EncodecConfig) -> jnp.ndarray:
-    """codes: (B, F, n_q) -> wav (B, F*320, 1)."""
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
+def encodec_decode(params, codes: jnp.ndarray, *, cfg: EncodecConfig,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """codes: (B, F, n_q) -> wav (B, F*320, 1).
+
+    ``dtype=jnp.bfloat16`` runs the SEANet decoder convs/LSTM in bf16
+    (full MXU rate, half the HBM traffic); the RVQ embedding sum and the
+    returned waveform stay fp32. Measured fidelity vs the fp32 path is
+    ~40 dB SNR (tests/test_codec.py::test_decode_bf16_close_to_fp32) —
+    far below EnCodec's own quantization noise.
+    """
     z = rvq.rvq_decode(params["quantizer"], codes)
-    return seanet.seanet_decoder_apply(
-        params["decoder"], z, ratios=cfg.ratios, causal=cfg.causal,
+    dec = params["decoder"]
+    if dtype != jnp.float32:
+        dec = jax.tree_util.tree_map(lambda a: a.astype(dtype), dec)
+        z = z.astype(dtype)
+    wav = seanet.seanet_decoder_apply(
+        dec, z, ratios=cfg.ratios, causal=cfg.causal,
         pad_mode=cfg.pad_mode)
+    return wav.astype(jnp.float32)

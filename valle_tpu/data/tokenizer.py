@@ -232,14 +232,20 @@ class AudioTokenizer:
                                cfg=self.config, n_q=self.n_q)
         return np.asarray(codes)
 
-    def decode(self, codes: np.ndarray) -> np.ndarray:
-        """codes: (B, F, n_q) -> wav (B, F*320) float32."""
+    def decode(self, codes: np.ndarray,
+               dtype: Optional[str] = None) -> np.ndarray:
+        """codes: (B, F, n_q) -> wav (B, F*320) float32.
+
+        ``dtype="bfloat16"`` runs the decoder in bf16 (see
+        ``encodec_decode``); default fp32.
+        """
         import jax.numpy as jnp
 
         from ..codec import encodec_decode
 
-        wav = encodec_decode(self.params, jnp.asarray(codes),
-                             cfg=self.config)
+        wav = encodec_decode(
+            self.params, jnp.asarray(codes), cfg=self.config,
+            dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
         return np.asarray(wav)[..., 0]
 
 
