@@ -57,6 +57,11 @@ def main():
                         "unroll_layers": True},
         "grouped": {"use_decode_kernel": True,
                     "decode_kernel_mode": "grouped"},
+        "fused": {"use_decode_kernel": True,
+                  "decode_kernel_mode": "fused"},
+        "fused_unroll": {"use_decode_kernel": True,
+                         "decode_kernel_mode": "fused",
+                         "unroll_layers": True},
     }
 
     results = {}

@@ -113,7 +113,7 @@ def valle_ar_decode(
     x_lens = text_lens.astype(jnp.int32)
     p_lens = prompt_lens.astype(jnp.int32) + bos   # audio prefix lens
     cache_len = S + bos + P + max_gen_len + 1
-    if use_decode_kernel:
+    if use_decode_kernel and decode_kernel_mode != "fused":
         from ..ops.decode_attention import BLOCK_K
 
         # grouped modes need B % 8 == 0; resolve the effective mode here so
@@ -147,6 +147,8 @@ def valle_ar_decode(
         vq, vsc = tfm.quantize_kv(cache["v"])
         cache = {"kv": combine_kv_int8(kq, vq),
                  "scale": stack_scales(ksc, vsc)}
+    elif use_decode_kernel and decode_kernel_mode == "fused":
+        pass  # fused dense kernels keep the natural (L,B,H,T,Dh) cache
     elif use_decode_kernel:
         # kernel cache layout: (L, B, H, Dh, Tmax) — one-time transpose
         cache = {"k": jnp.swapaxes(cache["k"], -2, -1),
@@ -522,6 +524,11 @@ def valle_inference(
         elif decode_mode == "int8" and text.shape[0] % 8 == 0:
             ar_kw = {"use_decode_kernel": True,
                      "decode_kernel_mode": "int8_grouped"}
+        elif decode_mode == "fused":
+            # dense path (LN/QKV/out-proj/FFN) in weight-streaming Pallas
+            # kernels, attention + cache on the exact XLA path
+            ar_kw = {"use_decode_kernel": True,
+                     "decode_kernel_mode": "fused"}
     gen_q0, gen_lens = ar_decode(
         params, cfg, text, text_lens, prompt_codes[..., 0], prompt_lens,
         rng, top_k=top_k, temperature=temperature, max_gen_len=max_gen_len,

@@ -725,6 +725,9 @@ def encoder_stack_decode_step(
     bidx = jnp.arange(B)
     mode = kernel_ctx[4] if kernel_ctx is not None else None
     int8_mode = mode == "int8_grouped"
+    fused_mode = mode == "fused"
+    if fused_mode:
+        assert norm_first, "fused decode kernels assume pre-norm layers"
 
     def body(i, carry):
         if int8_mode:
@@ -736,13 +739,24 @@ def encoder_stack_decode_step(
                  (lambda a: jax.lax.dynamic_index_in_dim(
                      a, i, 0, keepdims=False)))
         lp = jax.tree_util.tree_map(index, p["layers"])
-        hin = apply_norm(lp["norm1"], h, None) if norm_first else h
+        if fused_mode:
+            from ..ops.fused_dense import fused_ln_qkv
 
-        in_w = lp["self_attn"]["in_w"] if dtype is None else (
-            lp["self_attn"]["in_w"].astype(dtype))
-        in_b = lp["self_attn"]["in_b"] if dtype is None else (
-            lp["self_attn"]["in_b"].astype(dtype))
-        qkv = hin @ in_w + in_b
+            _, _, _, interp, _ = kernel_ctx
+            qkv = fused_ln_qkv(
+                h[:, 0, :],
+                lp["norm1"]["scale"], lp["norm1"]["bias"],
+                p["layers"]["self_attn"]["in_w"],
+                lp["self_attn"]["in_b"], i,
+                interpret=interp)[:, None, :]
+        else:
+            hin = apply_norm(lp["norm1"], h, None) if norm_first else h
+
+            in_w = lp["self_attn"]["in_w"] if dtype is None else (
+                lp["self_attn"]["in_w"].astype(dtype))
+            in_b = lp["self_attn"]["in_b"] if dtype is None else (
+                lp["self_attn"]["in_b"].astype(dtype))
+            qkv = hin @ in_w + in_b
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = _split_heads(q, nhead)
         k = _split_heads(k, nhead)
@@ -763,7 +777,7 @@ def encoder_stack_decode_step(
             out = decode_attention_int8_grouped(
                 q, ckv_all[i], sc_all[i],
                 x_lens, write_pos, S=S, group=8, interpret=interp)
-        elif kernel_ctx is not None:
+        elif kernel_ctx is not None and not fused_mode:
             # kernel cache layout (L, B, H, Dh, Tmax)
             ck_all = ck_all.at[i, bidx, :, :, pos].set(k[:, :, 0, :])
             cv_all = cv_all.at[i, bidx, :, :, pos].set(v[:, :, 0, :])
@@ -787,6 +801,19 @@ def encoder_stack_decode_step(
             out = _attend(q, ck_all[i], cv_all[i], bias)
 
         out = _merge_heads(out)
+        if fused_mode:
+            from ..ops.fused_dense import fused_tail
+
+            h = fused_tail(
+                out[:, 0, :], h[:, 0, :],
+                p["layers"]["self_attn"]["out_w"],
+                lp["self_attn"]["out_b"],
+                lp["norm2"]["scale"], lp["norm2"]["bias"],
+                p["layers"]["ffn"]["lin1"]["w"], lp["ffn"]["lin1"]["b"],
+                p["layers"]["ffn"]["lin2"]["w"], lp["ffn"]["lin2"]["b"],
+                i, activation=activation,
+                interpret=kernel_ctx[3])[:, None, :]
+            return (h, ck_all, cv_all)
         out_w = lp["self_attn"]["out_w"] if dtype is None else (
             lp["self_attn"]["out_w"].astype(dtype))
         out_b = lp["self_attn"]["out_b"] if dtype is None else (
