@@ -83,9 +83,11 @@ class Synthesizer:
         # "exact" | "unroll" (token-exact) | "int8" (fastest; int8 KV
         # cache, needs batch % 8 == 0 — see models.inference.valle_inference)
         self.decode_mode = decode_mode
-        # EnCodec decoder precision: None/fp32 (default) or "bfloat16"
-        # (~40 dB SNR vs fp32, well under the codec's own noise floor)
-        self.codec_dtype = codec_dtype
+        # EnCodec decoder precision. Serving defaults to bfloat16 to match
+        # compute_dtype (+31% codec decode, 41 dB SNR vs fp32 — far below
+        # the codec's own quantization noise; BASELINE.md). Pass "float32"
+        # to force the exact path.
+        self.codec_dtype = codec_dtype or "bfloat16"
         self._rng = jax.random.PRNGKey(seed)
 
     @classmethod
