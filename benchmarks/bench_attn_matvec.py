@@ -56,26 +56,27 @@ def attn_m8_bf16(q, k, v, bias):
 
 def make_run(attn):
     @jax.jit
-    def run(rng, k, v, bias):
-        def step(carry, r):
-            q = jax.random.normal(r, (B, H, D), jnp.bfloat16)
+    def run(qs, k, v, bias):
+        def step(carry, q):
             o = attn(q, k, v, bias)
             return carry + o.astype(jnp.float32).sum(), None
 
-        out, _ = jax.lax.scan(step, jnp.float32(0),
-                              jax.random.split(rng, STEPS))
+        out, _ = jax.lax.scan(step, jnp.float32(0), qs)
         return out
 
     return run
 
 
 def timed(run, rng, k, v, bias):
-    np.asarray(run(rng, k, v, bias))  # compile
+    qs0 = jax.random.normal(rng, (STEPS, B, H, D), jnp.bfloat16)
+    np.asarray(run(qs0, k, v, bias))  # compile
     best = []
     for i in range(ITERS):
-        r = jax.random.fold_in(rng, i + 1)
+        qs = jax.random.normal(jax.random.fold_in(rng, i + 1),
+                               (STEPS, B, H, D), jnp.bfloat16)
+        np.asarray(qs)                 # exclude rng gen from the timing
         t0 = time.perf_counter()
-        np.asarray(run(r, k, v, bias))
+        np.asarray(run(qs, k, v, bias))
         best.append((time.perf_counter() - t0) / STEPS * 1e6)
     return min(best)
 

@@ -62,6 +62,11 @@ def main():
         "fused_unroll": {"use_decode_kernel": True,
                          "decode_kernel_mode": "fused",
                          "unroll_layers": True},
+        "fused_int8": {"use_decode_kernel": True,
+                       "decode_kernel_mode": "fused_int8"},
+        "fused_int8_unroll": {"use_decode_kernel": True,
+                              "decode_kernel_mode": "fused_int8",
+                              "unroll_layers": True},
     }
 
     results = {}

@@ -103,3 +103,31 @@ def test_valle_inference_fused_mode_runs():
     # real kernels); on CPU the pallas call still runs via interpret-free
     # lowering only on TPU, so drive the AR stage directly instead.
     assert exact.shape == (B, 16, 8) and el.shape == (B,)
+
+
+def test_ar_decode_fused_int8_token_agreement():
+    """fused_int8 (interpret): matching lengths and >90% token agreement
+    with the exact path (int8 K/V quantization can flip near-ties)."""
+    from valle_tpu.models import ValleConfig, init_valle
+    from valle_tpu.models.inference import valle_ar_decode
+
+    cfg = ValleConfig(d_model=32, nhead=2, num_layers=2, prefix_mode=1,
+                      num_quantizers=8, max_len=512, max_prefix_len=8)
+    params, _ = init_valle(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    B, S, P, G = 8, 9, 6, 16
+    text = jax.random.randint(ks[0], (B, S), 0, 90)
+    text_lens = jnp.full((B,), S).at[1].set(6)
+    pq0 = jax.random.randint(ks[1], (B, P), 0, 1024)
+    p_lens = jnp.full((B,), P).at[1].set(4)
+    base, bl = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                               ks[2], top_k=1, max_gen_len=G,
+                               force_full_length=True)
+    f8, fl = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                             ks[2], top_k=1, max_gen_len=G,
+                             force_full_length=True,
+                             use_decode_kernel=True, kernel_interpret=True,
+                             decode_kernel_mode="fused_int8")
+    np.testing.assert_array_equal(np.asarray(bl), np.asarray(fl))
+    agreement = float((np.asarray(base) == np.asarray(f8)).mean())
+    assert agreement > 0.9, agreement

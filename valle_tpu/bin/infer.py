@@ -60,9 +60,11 @@ def get_parser():
     parser.add_argument("--output-dir", type=str, default="infer/demos")
     parser.add_argument("--max-gen-len", type=int, default=1024)
     parser.add_argument("--decode-mode", type=str, default="exact",
-                        help="exact | unroll (token-exact, faster) | int8 "
-                             "(fastest; needs batch %% 8 == 0, falls back "
-                             "to exact at the CLI's batch 1).")
+                        help="exact | unroll (token-exact, faster) | fused "
+                             "(token-exact, weight-streaming Pallas dense "
+                             "path) | int8 | fused_int8 (fastest; int8 "
+                             "modes need batch %% 8 == 0, fall back to "
+                             "exact/fused at the CLI's batch 1).")
     parser.add_argument("--seed", type=int, default=0)
     from ..models import add_model_arguments
 

@@ -120,9 +120,13 @@ def valle_ar_decode(
         # cache rounding and kernel dispatch agree
         if decode_kernel_mode in ("grouped", "int8_grouped") and B % 8 != 0:
             decode_kernel_mode = "per_sample"
-        blk = (128 if decode_kernel_mode in ("grouped", "int8_grouped")
-               else BLOCK_K)
-        cache_len = ((cache_len + blk - 1) // blk) * blk
+        if decode_kernel_mode == "fused_int8" and B % 8 != 0:
+            decode_kernel_mode = "fused"
+        if decode_kernel_mode != "fused":
+            blk = (128 if decode_kernel_mode in ("grouped", "int8_grouped",
+                                                 "fused_int8")
+                   else BLOCK_K)
+            cache_len = ((cache_len + blk - 1) // blk) * blk
 
     x, y = _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype)
     xy = jnp.concatenate([x, y], axis=1)           # (B, S0, D)
@@ -134,7 +138,8 @@ def valle_ar_decode(
         params["ar"]["decoder"], xy, bias, nhead=cfg.nhead,
         cache_len=cache_len, norm_first=cfg.norm_first,
         activation=cfg.activation, dtype=dtype)
-    if use_decode_kernel and decode_kernel_mode == "int8_grouped":
+    if use_decode_kernel and decode_kernel_mode in ("int8_grouped",
+                                                    "fused_int8"):
         # combined (L,B,H,T,2Dh) int8 KV + stacked scales (L,B,2H,T),
         # natural layout: cheap sublane writes + aligned int8 kernel DMAs
         # (see ops/decode_attention_int8_grouped.py)
@@ -524,11 +529,16 @@ def valle_inference(
         elif decode_mode == "int8" and text.shape[0] % 8 == 0:
             ar_kw = {"use_decode_kernel": True,
                      "decode_kernel_mode": "int8_grouped"}
-        elif decode_mode == "fused":
+        elif decode_mode in ("fused", "fused_int8"):
             # dense path (LN/QKV/out-proj/FFN) in weight-streaming Pallas
-            # kernels, attention + cache on the exact XLA path
+            # kernels; attention on the exact XLA path ("fused") or the
+            # int8 combined-KV kernel ("fused_int8", needs B % 8 == 0 —
+            # falls back to "fused" otherwise). Layers unrolled: measured
+            # faster than the fori_loop with the fused kernels
+            # (BASELINE.md) and still token-exact for "fused".
             ar_kw = {"use_decode_kernel": True,
-                     "decode_kernel_mode": "fused"}
+                     "decode_kernel_mode": decode_mode,
+                     "unroll_layers": True}
     gen_q0, gen_lens = ar_decode(
         params, cfg, text, text_lens, prompt_codes[..., 0], prompt_lens,
         rng, top_k=top_k, temperature=temperature, max_gen_len=max_gen_len,

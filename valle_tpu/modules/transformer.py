@@ -724,8 +724,8 @@ def encoder_stack_decode_step(
     B = x.shape[0]
     bidx = jnp.arange(B)
     mode = kernel_ctx[4] if kernel_ctx is not None else None
-    int8_mode = mode == "int8_grouped"
-    fused_mode = mode == "fused"
+    int8_mode = mode in ("int8_grouped", "fused_int8")
+    fused_mode = mode in ("fused", "fused_int8")
     if fused_mode:
         assert norm_first, "fused decode kernels assume pre-norm layers"
 
@@ -777,7 +777,7 @@ def encoder_stack_decode_step(
             out = decode_attention_int8_grouped(
                 q, ckv_all[i], sc_all[i],
                 x_lens, write_pos, S=S, group=8, interpret=interp)
-        elif kernel_ctx is not None and not fused_mode:
+        elif kernel_ctx is not None and mode != "fused":
             # kernel cache layout (L, B, H, Dh, Tmax)
             ck_all = ck_all.at[i, bidx, :, :, pos].set(k[:, :, 0, :])
             cv_all = cv_all.at[i, bidx, :, :, pos].set(v[:, :, 0, :])
@@ -813,6 +813,8 @@ def encoder_stack_decode_step(
                 p["layers"]["ffn"]["lin2"]["w"], lp["ffn"]["lin2"]["b"],
                 i, activation=activation,
                 interpret=kernel_ctx[3])[:, None, :]
+            if int8_mode:
+                return (h, ckv_all, sc_all)
             return (h, ck_all, cv_all)
         out_w = lp["self_attn"]["out_w"] if dtype is None else (
             lp["self_attn"]["out_w"].astype(dtype))

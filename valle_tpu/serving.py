@@ -65,10 +65,11 @@ class Synthesizer:
         # is mesh-exclusive.
         self.mesh = mesh
         if mesh is not None:
-            if decode_mode == "int8":
+            if decode_mode in ("int8", "fused", "fused_int8"):
                 raise ValueError(
-                    "decode_mode='int8' is single-device (Pallas custom "
-                    "calls do not partition); use 'exact' or 'unroll'")
+                    f"decode_mode='{decode_mode}' is single-device (Pallas "
+                    "custom calls do not partition); use 'exact' or "
+                    "'unroll'")
             from .parallel.mesh import param_shardings
 
             params = jax.device_put(params, param_shardings(params, mesh))
@@ -80,8 +81,9 @@ class Synthesizer:
         self.temperature = temperature
         self.max_gen_len = max_gen_len
         self.compute_dtype = compute_dtype or jnp.bfloat16
-        # "exact" | "unroll" (token-exact) | "int8" (fastest; int8 KV
-        # cache, needs batch % 8 == 0 — see models.inference.valle_inference)
+        # "exact" | "unroll" (token-exact) | "fused" (token-exact, Pallas
+        # dense path) | "int8" | "fused_int8" (fastest; int8 KV cache,
+        # needs batch % 8 == 0 — see models.inference.valle_inference)
         self.decode_mode = decode_mode
         # EnCodec decoder precision. Serving defaults to bfloat16 to match
         # compute_dtype (+31% codec decode, 41 dB SNR vs fp32 — far below
