@@ -43,12 +43,14 @@ def main():
     prompt_q0 = jax.random.randint(ks[1], (B, P), 0, 1024, dtype=jnp.int32)
     prompt_lens = jnp.full((B,), P, jnp.int32)
 
-    # fastest shipped decode: combined-KV int8 cache + fused-dequant Pallas
-    # kernel (ops/decode_attention_int8_grouped.py; 19% over XLA at cache
-    # 1024, ~2% at this config's cache 512). Falls back to the exact XLA
-    # path if the kernel fails to compile on this backend.
+    # fastest shipped decode at this config: weight-streaming fused
+    # dense-path Pallas kernels + unrolled layers (ops/fused_dense.py;
+    # token-exact, 3.05 vs 3.15 ms/step over the int8 attention kernel and
+    # 3.0 vs 3.19 over plain XLA in same-session A/Bs — BASELINE.md).
+    # Falls back to the exact XLA path if the kernels fail to compile.
     decode_kw = {"use_decode_kernel": True,
-                 "decode_kernel_mode": "int8_grouped"}
+                 "decode_kernel_mode": "fused",
+                 "unroll_layers": True}
 
     def run(rng):
         return valle_ar_decode(
