@@ -50,6 +50,9 @@ def main():
     mode = pos[0] if pos else "int8"
     ar_kw = {"int8": {"use_decode_kernel": True,
                       "decode_kernel_mode": "int8_grouped"},
+             "fused": {"use_decode_kernel": True,
+                       "decode_kernel_mode": "fused",
+                       "unroll_layers": True},
              "unroll": {"unroll_layers": True},
              "exact": {}}[mode]
     print(f"AR decode mode: {mode}", flush=True)
