@@ -47,26 +47,39 @@ def main():
     import sys
 
     pos = [a for a in sys.argv[1:] if not a.startswith("-")]
-    mode = pos[0] if pos else "int8"
-    ar_kw = {"int8": {"use_decode_kernel": True,
-                      "decode_kernel_mode": "int8_grouped"},
-             "fused": {"use_decode_kernel": True,
-                       "decode_kernel_mode": "fused",
-                       "unroll_layers": True},
-             "unroll": {"unroll_layers": True},
-             "exact": {}}[mode]
-    print(f"AR decode mode: {mode}", flush=True)
+    modes = pos or ["int8"]
+    KW = {"int8": {"use_decode_kernel": True,
+                   "decode_kernel_mode": "int8_grouped"},
+          "fused": {"use_decode_kernel": True,
+                    "decode_kernel_mode": "fused",
+                    "unroll_layers": True},
+          "unroll": {"unroll_layers": True},
+          "exact": {}}
 
-    def ar():
-        state["i"] += 1
-        return valle_ar_decode(
-            params, cfg, text, text_lens, prompts[..., 0], p_lens,
-            jax.random.fold_in(ks[2], state["i"]),
-            top_k=10, max_gen_len=GEN, compute_dtype=jnp.bfloat16,
-            force_full_length=True, **ar_kw)
+    def make_ar(kw):
+        def ar():
+            state["i"] += 1
+            return valle_ar_decode(
+                params, cfg, text, text_lens, prompts[..., 0], p_lens,
+                jax.random.fold_in(ks[2], state["i"]),
+                top_k=10, max_gen_len=GEN, compute_dtype=jnp.bfloat16,
+                force_full_length=True, **kw)
+        return ar
 
-    gen_q0, gen_lens = ar()
-    t_ar = timeit(ar)
+    # time every requested AR mode in THIS session (cross-session
+    # pipeline totals are incomparable — up to 3x variance); the pipeline
+    # total below uses the first mode listed
+    ar_times = {}
+    gen_q0 = gen_lens = None
+    for mode in modes:
+        ar = make_ar(KW[mode])
+        if gen_q0 is None:
+            gen_q0, gen_lens = ar()
+        ar_times[mode] = timeit(ar)
+        print(f"AR decode [{mode}]: {ar_times[mode] * 1e3:8.1f} ms "
+              f"({B * GEN / ar_times[mode]:8.0f} frames/s)", flush=True)
+    mode, t_ar = modes[0], ar_times[modes[0]]
+    print(f"AR decode mode for totals: {mode}", flush=True)
 
     def nar():
         # perturb one token per call (identical-input runs are cached)
