@@ -131,3 +131,17 @@ def test_ar_decode_fused_int8_token_agreement():
     np.testing.assert_array_equal(np.asarray(bl), np.asarray(fl))
     agreement = float((np.asarray(base) == np.asarray(f8)).mean())
     assert agreement > 0.9, agreement
+
+
+def test_resolve_auto_decode_mode():
+    from valle_tpu.models.inference import resolve_auto_decode_mode
+
+    # short cache -> fused
+    assert resolve_auto_decode_mode(B=32, S=64, P=225,
+                                    max_gen_len=150) == "fused"
+    # long cache, batch divisible by 8 -> int8
+    assert resolve_auto_decode_mode(B=32, S=64, P=224,
+                                    max_gen_len=448) == "int8"
+    # long cache but B % 8 != 0 -> fused (int8 kernel needs groups of 8)
+    assert resolve_auto_decode_mode(B=3, S=64, P=224,
+                                    max_gen_len=448) == "fused"

@@ -62,9 +62,10 @@ def get_parser():
     parser.add_argument("--decode-mode", type=str, default="exact",
                         help="exact | unroll (token-exact, faster) | fused "
                              "(token-exact, weight-streaming Pallas dense "
-                             "path) | int8 | fused_int8 (fastest; int8 "
-                             "modes need batch %% 8 == 0, fall back to "
-                             "exact/fused at the CLI's batch 1).")
+                             "path) | int8 | fused_int8 (fastest at long "
+                             "caches; int8 modes need batch %% 8 == 0, "
+                             "fall back at the CLI's batch 1) | auto "
+                             "(fused/int8 by request shape).")
     parser.add_argument("--seed", type=int, default=0)
     from ..models import add_model_arguments
 

@@ -490,6 +490,24 @@ def trim_enrolled_text(text: jnp.ndarray, text_lens, enroll_x_lens):
     return out, new_lens
 
 
+def resolve_auto_decode_mode(*, B: int, S: int, P: int,
+                             max_gen_len: int) -> str:
+    """Pick the fastest measured decode mode for a request shape.
+
+    Measured envelope (BASELINE.md, same-session A/Bs on one v5e chip):
+    the fused weight-streaming kernels win at short KV caches (cache 512:
+    3.05 vs int8 3.15 ms/step) and the int8 combined-KV kernel wins once
+    the cache read dominates (cache ~738: int8 8,965 vs fused 6,506
+    frames/s; cache 1024: 4.48 vs 4.85 ms/step). int8 needs B % 8 == 0
+    and is not token-exact (near-tie flips); callers who need exact
+    tokens should pass "exact"/"unroll"/"fused" explicitly.
+    """
+    cache = S + P + max_gen_len + 2
+    if cache >= 640 and B % 8 == 0:
+        return "int8"
+    return "fused"
+
+
 def valle_inference(
     params,
     cfg: ValleConfig,
@@ -509,11 +527,13 @@ def valle_inference(
     """Full zero-shot synthesis: AR decode then NAR refinement.
 
     ``decode_mode``: "exact" (reference-parity default), "unroll"
-    (token-exact, statically unrolled layer loop), or "int8" (combined-KV
-    int8 cache + fused-dequant Pallas kernel — 19% faster at B=32/cache
-    1024, tokens may flip at near-ties; needs valle + B % 8 == 0, silently
-    falls back to exact otherwise). int8 wins at B <= ~32 and long caches;
-    at large batch (measured B=128) XLA's batched matmuls win — prefer
+    (token-exact, statically unrolled layer loop), "fused" (token-exact,
+    weight-streaming Pallas dense path — fastest at short caches),
+    "int8" / "fused_int8" (combined-KV int8 cache + fused-dequant Pallas
+    kernel — fastest at long caches, tokens may flip at near-ties; needs
+    valle + B % 8 == 0, silently falls back otherwise), or "auto" (pick
+    fused/int8 from the request shape via ``resolve_auto_decode_mode``).
+    At large batch (measured B=128) XLA's batched matmuls win — prefer
     "exact"/"unroll" there (BASELINE.md).
 
     Returns (codes (B, max_gen_len, Q), gen_lens (B,)).
@@ -522,6 +542,10 @@ def valle_inference(
         rng = jax.random.PRNGKey(0)
     ar_decode = (vallf_ar_decode if cfg.model_name == "vallf"
                  else valle_ar_decode)
+    if decode_mode == "auto":
+        decode_mode = resolve_auto_decode_mode(
+            B=text.shape[0], S=text.shape[1], P=prompt_codes.shape[1],
+            max_gen_len=max_gen_len)
     ar_kw = {}
     if cfg.model_name != "vallf":
         if decode_mode == "unroll":
