@@ -145,3 +145,72 @@ def test_resolve_auto_decode_mode():
     # long cache but B % 8 != 0 -> fused (int8 kernel needs groups of 8)
     assert resolve_auto_decode_mode(B=3, S=64, P=224,
                                     max_gen_len=448) == "fused"
+
+
+def test_fused_kernels_int8_weights_match_dequant_oracle():
+    """int8-weight streaming (interpret): outputs match the math on
+    dequantized weights (post-dot per-channel scaling is exact in fp32)."""
+    from valle_tpu.ops.fused_dense import quantize_weights_per_channel
+
+    L, B, D, F = 2, 4, 64, 256
+    ks = jax.random.split(jax.random.PRNGKey(5), 9)
+    h = jax.random.normal(ks[0], (B, D))
+    in_w = jax.random.normal(ks[1], (L, D, 3 * D)) * 0.1
+    in_b = jax.random.normal(ks[2], (L, 3 * D)) * 0.1
+    s = 1.0 + 0.1 * jax.random.normal(ks[3], (L, D))
+    b = 0.1 * jax.random.normal(ks[4], (L, D))
+    wq, ws = quantize_weights_per_channel(in_w)
+    out = fused_ln_qkv(h, s[0], b[0], wq, in_b[0], 0, w_scale=ws[0],
+                       interpret=True)
+    deq = wq.astype(jnp.float32) * ws[:, None, :]
+    ref = _ln(h, s[0], b[0]) @ deq[0] + in_b[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    a = jax.random.normal(ks[5], (B, D))
+    r = jax.random.normal(ks[6], (B, D))
+    ow = jax.random.normal(ks[7], (L, D, D)) * 0.1
+    w1 = jax.random.normal(ks[8], (L, D, F)) * 0.1
+    w2 = jax.random.normal(ks[0], (L, F, D)) * 0.1
+    zD, zF = jnp.zeros((D,)), jnp.zeros((F,))
+    owq, ows = quantize_weights_per_channel(ow)
+    w1q, w1s = quantize_weights_per_channel(w1)
+    w2q, w2s = quantize_weights_per_channel(w2)
+    out = fused_tail(a, r, owq, zD, s[0], b[0], w1q, zF, w2q, zD, 1,
+                     w_scales=(ows[1], w1s[1], w2s[1]), interpret=True)
+    dow = owq.astype(jnp.float32) * ows[:, None, :]
+    dw1 = w1q.astype(jnp.float32) * w1s[:, None, :]
+    dw2 = w2q.astype(jnp.float32) * w2s[:, None, :]
+    h1 = r + a @ dow[1]
+    n = _ln(h1, s[0], b[0])
+    ref = h1 + jnp.maximum(n @ dw1[1], 0) @ dw2[1]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ar_decode_fused_w8_token_agreement():
+    """fused_w8 (interpret): matching lengths, >90% token agreement with
+    the exact path (int8 weight quantization can flip near-ties)."""
+    from valle_tpu.models import ValleConfig, init_valle
+    from valle_tpu.models.inference import valle_ar_decode
+
+    cfg = ValleConfig(d_model=32, nhead=2, num_layers=2, prefix_mode=1,
+                      num_quantizers=8, max_len=512, max_prefix_len=8)
+    params, _ = init_valle(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    B, S, P, G = 2, 9, 6, 16
+    text = jax.random.randint(ks[0], (B, S), 0, 90)
+    text_lens = jnp.array([9, 6])
+    pq0 = jax.random.randint(ks[1], (B, P), 0, 1024)
+    p_lens = jnp.array([6, 4])
+    base, bl = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                               ks[2], top_k=1, max_gen_len=G,
+                               force_full_length=True)
+    w8, wl = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                             ks[2], top_k=1, max_gen_len=G,
+                             force_full_length=True,
+                             use_decode_kernel=True, kernel_interpret=True,
+                             decode_kernel_mode="fused_w8")
+    np.testing.assert_array_equal(np.asarray(bl), np.asarray(wl))
+    agreement = float((np.asarray(base) == np.asarray(w8)).mean())
+    assert agreement > 0.9, agreement

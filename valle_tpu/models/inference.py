@@ -59,6 +59,26 @@ def _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype):
     return x, y
 
 
+def quantize_decoder_weights(dec_p):
+    """Per-output-channel int8 quantization of a decoder stack's stacked
+    dense weights (in/out projections + FFN) for weight-streaming decode
+    (decode_kernel_mode="fused_w8"). Halves decode weight traffic and
+    serving weight memory; per-channel scales keep quantization error
+    ~0.4% relative. NOTE: on an untrained model the near-uniform logits
+    make AR sequences diverge after any near-tie flip, so sequence-level
+    agreement is seed-dependent there; validate on a trained checkpoint
+    (whose logit margins dwarf the quantization noise) before enabling
+    in production."""
+    from ..ops.fused_dense import quantize_weights_per_channel as q
+
+    in_q, in_s = q(dec_p["layers"]["self_attn"]["in_w"])
+    out_q, out_s = q(dec_p["layers"]["self_attn"]["out_w"])
+    w1_q, s1 = q(dec_p["layers"]["ffn"]["lin1"]["w"])
+    w2_q, s2 = q(dec_p["layers"]["ffn"]["lin2"]["w"])
+    return {"in_w": in_q, "in_s": in_s, "out_w": out_q, "out_s": out_s,
+            "w1": w1_q, "s1": s1, "w2": w2_q, "s2": s2}
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "top_k", "max_gen_len", "compute_dtype",
@@ -113,7 +133,8 @@ def valle_ar_decode(
     x_lens = text_lens.astype(jnp.int32)
     p_lens = prompt_lens.astype(jnp.int32) + bos   # audio prefix lens
     cache_len = S + bos + P + max_gen_len + 1
-    if use_decode_kernel and decode_kernel_mode != "fused":
+    if use_decode_kernel and decode_kernel_mode not in ("fused",
+                                                        "fused_w8"):
         from ..ops.decode_attention import BLOCK_K
 
         # grouped modes need B % 8 == 0; resolve the effective mode here so
@@ -152,7 +173,7 @@ def valle_ar_decode(
         vq, vsc = tfm.quantize_kv(cache["v"])
         cache = {"kv": combine_kv_int8(kq, vq),
                  "scale": stack_scales(ksc, vsc)}
-    elif use_decode_kernel and decode_kernel_mode == "fused":
+    elif use_decode_kernel and decode_kernel_mode in ("fused", "fused_w8"):
         pass  # fused dense kernels keep the natural (L,B,H,T,Dh) cache
     elif use_decode_kernel:
         # kernel cache layout: (L, B, H, Dh, Tmax) — one-time transpose
@@ -162,6 +183,12 @@ def valle_ar_decode(
         kq, ksc = tfm.quantize_kv(cache["k"])
         vq, vsc = tfm.quantize_kv(cache["v"])
         cache = {"k": kq, "v": vq, "k_scale": ksc, "v_scale": vsc}
+
+    decoder_p = params["ar"]["decoder"]
+    if use_decode_kernel and decode_kernel_mode == "fused_w8":
+        # one-time per call; XLA hoists it out of the decode while_loop
+        decoder_p = {**decoder_p,
+                     "w8": quantize_decoder_weights(decoder_p)}
 
     W = params["ar"]["predict"]["w"].astype(dtype)  # (D, V+1)
     bidx = jnp.arange(B)
@@ -227,7 +254,7 @@ def valle_ar_decode(
             kctx = ((x_lens, wp, S, kernel_interpret, decode_kernel_mode)
                     if use_decode_kernel else None)
             hidden_s, cache_c = tfm.encoder_stack_decode_step(
-                params["ar"]["decoder"], xstep, cache_c, write_pos,
+                decoder_p, xstep, cache_c, write_pos,
                 step_bias, nhead=cfg.nhead, norm_first=cfg.norm_first,
                 activation=cfg.activation, dtype=dtype, kernel_ctx=kctx,
                 unroll=unroll_layers)
@@ -553,7 +580,7 @@ def valle_inference(
         elif decode_mode == "int8" and text.shape[0] % 8 == 0:
             ar_kw = {"use_decode_kernel": True,
                      "decode_kernel_mode": "int8_grouped"}
-        elif decode_mode in ("fused", "fused_int8"):
+        elif decode_mode in ("fused", "fused_int8", "fused_w8"):
             # dense path (LN/QKV/out-proj/FFN) in weight-streaming Pallas
             # kernels; attention on the exact XLA path ("fused") or the
             # int8 combined-KV kernel ("fused_int8", needs B % 8 == 0 —

@@ -725,7 +725,10 @@ def encoder_stack_decode_step(
     bidx = jnp.arange(B)
     mode = kernel_ctx[4] if kernel_ctx is not None else None
     int8_mode = mode in ("int8_grouped", "fused_int8")
-    fused_mode = mode in ("fused", "fused_int8")
+    fused_mode = mode in ("fused", "fused_int8", "fused_w8")
+    # int8-weight streaming: p["w8"] carries quantized stacked weights +
+    # per-channel scales (see inference.quantize_decoder_weights)
+    w8 = p.get("w8") if mode == "fused_w8" else None
     if fused_mode:
         assert norm_first, "fused decode kernels assume pre-norm layers"
 
@@ -746,8 +749,10 @@ def encoder_stack_decode_step(
             qkv = fused_ln_qkv(
                 h[:, 0, :],
                 lp["norm1"]["scale"], lp["norm1"]["bias"],
-                p["layers"]["self_attn"]["in_w"],
+                (w8["in_w"] if w8 is not None else
+                 p["layers"]["self_attn"]["in_w"]),
                 lp["self_attn"]["in_b"], i,
+                w_scale=(index(w8["in_s"]) if w8 is not None else None),
                 interpret=interp)[:, None, :]
         else:
             hin = apply_norm(lp["norm1"], h, None) if norm_first else h
@@ -777,7 +782,7 @@ def encoder_stack_decode_step(
             out = decode_attention_int8_grouped(
                 q, ckv_all[i], sc_all[i],
                 x_lens, write_pos, S=S, group=8, interpret=interp)
-        elif kernel_ctx is not None and mode != "fused":
+        elif kernel_ctx is not None and mode not in ("fused", "fused_w8"):
             # kernel cache layout (L, B, H, Dh, Tmax)
             ck_all = ck_all.at[i, bidx, :, :, pos].set(k[:, :, 0, :])
             cv_all = cv_all.at[i, bidx, :, :, pos].set(v[:, :, 0, :])
@@ -804,14 +809,22 @@ def encoder_stack_decode_step(
         if fused_mode:
             from ..ops.fused_dense import fused_tail
 
+            if w8 is not None:
+                ow, w1, w2 = w8["out_w"], w8["w1"], w8["w2"]
+                wsc = (index(w8["out_s"]), index(w8["s1"]),
+                       index(w8["s2"]))
+            else:
+                ow = p["layers"]["self_attn"]["out_w"]
+                w1 = p["layers"]["ffn"]["lin1"]["w"]
+                w2 = p["layers"]["ffn"]["lin2"]["w"]
+                wsc = None
             h = fused_tail(
                 out[:, 0, :], h[:, 0, :],
-                p["layers"]["self_attn"]["out_w"],
-                lp["self_attn"]["out_b"],
+                ow, lp["self_attn"]["out_b"],
                 lp["norm2"]["scale"], lp["norm2"]["bias"],
-                p["layers"]["ffn"]["lin1"]["w"], lp["ffn"]["lin1"]["b"],
-                p["layers"]["ffn"]["lin2"]["w"], lp["ffn"]["lin2"]["b"],
-                i, activation=activation,
+                w1, lp["ffn"]["lin1"]["b"],
+                w2, lp["ffn"]["lin2"]["b"],
+                i, activation=activation, w_scales=wsc,
                 interpret=kernel_ctx[3])[:, None, :]
             if int8_mode:
                 return (h, ckv_all, sc_all)

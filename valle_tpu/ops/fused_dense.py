@@ -23,6 +23,14 @@ scalar-prefetch argument and selects the slice per DMA, so the kernels
 work unchanged under ``lax.fori_loop`` over layers (no per-layer
 dynamic-slice materialization in XLA either).
 
+INT8 WEIGHT STREAMING (weight-only quantization): pass int8 weights plus
+per-output-channel scales (``quantize_weights_per_channel``) and the
+kernels halve the streamed bytes, dequantizing by scaling the fp32 MXU
+accumulator AFTER the dot (q . (wq*s) == (q . wq) * s per column — more
+accurate than materializing bf16-dequantized weights). The unquantized
+path passes scale=1 through the identical code, so it stays bit-identical
+to the original kernels.
+
 Numerics: all element-wise math and residuals run in the input dtype
 (matching modules/transformer.py's decode step exactly at fp32);
 matmuls accumulate fp32 on the MXU and cast back; LayerNorm runs fp32
@@ -48,6 +56,17 @@ import jax.numpy as jnp
 _CHUNK = 512
 
 
+def quantize_weights_per_channel(w, axis: int = -2):
+    """Per-output-channel symmetric int8 quantization of a weight matrix
+    (..., D_in, D_out): reduce |max| over ``axis`` (the input dim).
+
+    Returns (w_q int8, scale f32 with the input dim removed)."""
+    amax = jnp.max(jnp.abs(w), axis=axis)
+    scale = (amax / 127.0 + 1e-12).astype(jnp.float32)
+    wq = jnp.round(w / jnp.expand_dims(scale, axis)).astype(jnp.int8)
+    return wq, scale
+
+
 def _layer_norm2d(x, scale, bias, eps=1e-5):
     """x (B, D); scale/bias (1, D). fp32 internals like layer_norm()."""
     xf = x.astype(jnp.float32)
@@ -58,11 +77,13 @@ def _layer_norm2d(x, scale, bias, eps=1e-5):
     return y.astype(x.dtype)
 
 
-def _mm(a, w):
-    """MXU matmul, fp32 accumulation, cast back to a's dtype."""
-    return jax.lax.dot_general(
-        a, w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(a.dtype)
+def _mms(a, w, s):
+    """MXU matmul with fp32 accumulation, post-dot per-column scale
+    (dequant; s == 1 leaves the fp32 value untouched), cast to a.dtype."""
+    y = jax.lax.dot_general(
+        a, w.astype(a.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (y * s).astype(a.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -70,8 +91,8 @@ def _mm(a, w):
 # ---------------------------------------------------------------------------
 
 
-def _ln_qkv_kernel(l_ref, h_ref, lns_ref, lnb_ref, b_ref, w_hbm, o_ref,
-                   *, D, CO, cw):
+def _ln_qkv_kernel(l_ref, h_ref, lns_ref, lnb_ref, b_ref, ws_ref, w_hbm,
+                   o_ref, *, D, CO, cw):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -95,8 +116,8 @@ def _ln_qkv_kernel(l_ref, h_ref, lns_ref, lnb_ref, b_ref, w_hbm, o_ref,
             if c + 1 < nchunks:
                 dma((c + 1) % 2, c + 1, True)
             dma(c % 2, c, False)
-            y = _mm(n, wbuf[c % 2]) + b_ref[:, pl.ds(c * cw, cw)]
-            o_ref[:, pl.ds(c * cw, cw)] = y
+            y = _mms(n, wbuf[c % 2], ws_ref[:, pl.ds(c * cw, cw)])
+            o_ref[:, pl.ds(c * cw, cw)] = y + b_ref[:, pl.ds(c * cw, cw)]
 
     pl.run_scoped(
         body,
@@ -107,11 +128,12 @@ def _ln_qkv_kernel(l_ref, h_ref, lns_ref, lnb_ref, b_ref, w_hbm, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_ln_qkv(h, ln_scale, ln_bias, in_w, in_b, layer, *,
-                 interpret: bool = False):
+                 w_scale=None, interpret: bool = False):
     """h (B, D) -> LayerNorm -> @ in_w[layer] + in_b -> (B, 3D).
 
-    in_w: (L, D, 3D) stacked in HBM (dtype matching h); ln_scale /
-    ln_bias / in_b are the already-sliced per-layer params (D,), (3D,).
+    in_w: (L, D, 3D) stacked in HBM — dtype matching h, or int8 with
+    ``w_scale`` the per-layer (3D,) dequant scales. ln_scale / ln_bias /
+    in_b are the already-sliced per-layer params (D,), (3D,).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -128,12 +150,18 @@ def fused_ln_qkv(h, ln_scale, ln_bias, in_w, in_b, layer, *,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ln scale (1, D)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ln bias (1, D)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # in_b (1, 3D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w scale (1, 3D)
             pl.BlockSpec(memory_space=pltpu.ANY),    # in_w (L, D, 3D)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(_ln_qkv_kernel, D=D, CO=CO, cw=cw)
     dt = h.dtype
+    if w_scale is None:
+        ws = jnp.ones((1, CO), jnp.float32)
+    else:
+        ws = w_scale.astype(jnp.float32).reshape(1, CO)
+        assert in_w.dtype == jnp.int8
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -142,7 +170,8 @@ def fused_ln_qkv(h, ln_scale, ln_bias, in_w, in_b, layer, *,
     )(jnp.asarray(layer, jnp.int32).reshape(1),
       h, ln_scale.astype(dt).reshape(1, D),
       ln_bias.astype(dt).reshape(1, D),
-      in_b.astype(dt).reshape(1, CO), in_w.astype(dt))
+      in_b.astype(dt).reshape(1, CO), ws,
+      in_w if w_scale is not None else in_w.astype(dt))
 
 
 # ---------------------------------------------------------------------------
@@ -151,8 +180,8 @@ def fused_ln_qkv(h, ln_scale, ln_bias, in_w, in_b, layer, *,
 
 
 def _tail_kernel(l_ref, a_ref, r_ref, ob_ref, lns_ref, lnb_ref, b1_ref,
-                 b2_ref, ow_hbm, w1_hbm, w2_hbm, o_ref,
-                 *, D, F, cw, activation):
+                 b2_ref, os_ref, s1_ref, s2_ref, ow_hbm, w1_hbm, w2_hbm,
+                 o_ref, *, D, F, cw, activation):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -185,7 +214,8 @@ def _tail_kernel(l_ref, a_ref, r_ref, ob_ref, lns_ref, lnb_ref, b1_ref,
             if c + 1 < n_col:
                 dma_col((c + 1) % 2, c + 1, True)
             dma_col(c % 2, c, False)
-            y = _mm(a, colbuf[c % 2]) + ob_ref[:, pl.ds(c * cw, cw)]
+            y = _mms(a, colbuf[c % 2], os_ref[:, pl.ds(c * cw, cw)])
+            y = y + ob_ref[:, pl.ds(c * cw, cw)]
             h1_scr[:, pl.ds(c * cw, cw)] = r_ref[:, pl.ds(c * cw, cw)] + y
 
         n = _layer_norm2d(h1_scr[:], lns_ref[:], lnb_ref[:])
@@ -196,25 +226,28 @@ def _tail_kernel(l_ref, a_ref, r_ref, ob_ref, lns_ref, lnb_ref, b1_ref,
             if i + 1 < n_col:
                 dma_col((i + 1) % 2, i + 1, True)
             dma_col(i % 2, i, False)
-            y = _mm(n, colbuf[i % 2]) + b1_ref[:, pl.ds(c * cw, cw)]
+            y = _mms(n, colbuf[i % 2], s1_ref[:, pl.ds(c * cw, cw)])
+            y = y + b1_ref[:, pl.ds(c * cw, cw)]
             if activation == "relu":
                 y = jnp.maximum(y, 0)
             else:  # gelu
                 y = jax.nn.gelu(y.astype(jnp.float32)).astype(y.dtype)
             ffh_scr[:, pl.ds(c * cw, cw)] = y
 
-        # --- lin2, accumulated over row chunks -------------------------
+        # --- lin2, accumulated over row chunks; per-column dequant
+        #     applies to the WHOLE sum, so it moves after the loop -------
         acc_scr[:] = jnp.zeros_like(acc_scr)
         for c in range(n_f2):
             if c + 1 < n_f2:
                 dma_row((c + 1) % 2, c + 1, True)
             dma_row(c % 2, c, False)
             acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
-                ffh_scr[:, pl.ds(c * cw, cw)], rowbuf[c % 2],
+                ffh_scr[:, pl.ds(c * cw, cw)],
+                rowbuf[c % 2].astype(ffh_scr.dtype),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        ff = acc_scr[:].astype(o_ref.dtype) + b2_ref[:]
+        ff = (acc_scr[:] * s2_ref[:]).astype(o_ref.dtype) + b2_ref[:]
         o_ref[:] = h1_scr[:] + ff
 
     pl.run_scoped(
@@ -232,12 +265,14 @@ def _tail_kernel(l_ref, a_ref, r_ref, ob_ref, lns_ref, lnb_ref, b1_ref,
 @functools.partial(jax.jit, static_argnames=("activation", "interpret"))
 def fused_tail(attn_out, h_res, out_w, out_b, ln2_scale, ln2_bias,
                w1, b1, w2, b2, layer, *, activation: str = "relu",
-               interpret: bool = False):
+               w_scales=None, interpret: bool = False):
     """attn_out, h_res (B, D) -> out-proj + residual + LN2 + FFN +
     residual -> (B, D).
 
-    out_w (L, D, D), w1 (L, D, F), w2 (L, F, D) stacked in HBM;
-    biases / LN params are the per-layer slices.
+    out_w (L, D, D), w1 (L, D, F), w2 (L, F, D) stacked in HBM — dtype
+    matching the activations, or int8 with ``w_scales`` a per-layer
+    (out_s (D,), s1 (F,), s2 (D,)) tuple of dequant scales. Biases / LN
+    params are the per-layer slices.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -249,7 +284,7 @@ def fused_tail(attn_out, h_res, out_w, out_b, ln2_scale, ln2_bias,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7 + [
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10 + [
             pl.BlockSpec(memory_space=pltpu.ANY),    # out_w
             pl.BlockSpec(memory_space=pltpu.ANY),    # w1
             pl.BlockSpec(memory_space=pltpu.ANY),    # w2
@@ -259,6 +294,17 @@ def fused_tail(attn_out, h_res, out_w, out_b, ln2_scale, ln2_bias,
     kernel = functools.partial(_tail_kernel, D=D, F=F, cw=cw,
                                activation=activation)
     dt = attn_out.dtype
+    if w_scales is None:
+        os_ = jnp.ones((1, D), jnp.float32)
+        s1 = jnp.ones((1, F), jnp.float32)
+        s2 = jnp.ones((1, D), jnp.float32)
+        ow, w1c, w2c = out_w.astype(dt), w1.astype(dt), w2.astype(dt)
+    else:
+        assert out_w.dtype == w1.dtype == w2.dtype == jnp.int8
+        os_, s1, s2 = (w_scales[0].astype(jnp.float32).reshape(1, D),
+                       w_scales[1].astype(jnp.float32).reshape(1, F),
+                       w_scales[2].astype(jnp.float32).reshape(1, D))
+        ow, w1c, w2c = out_w, w1, w2
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -271,4 +317,4 @@ def fused_tail(attn_out, h_res, out_w, out_b, ln2_scale, ln2_bias,
       ln2_bias.astype(dt).reshape(1, D),
       b1.astype(dt).reshape(1, F),
       b2.astype(dt).reshape(1, D),
-      out_w.astype(dt), w1.astype(dt), w2.astype(dt))
+      os_, s1, s2, ow, w1c, w2c)
