@@ -67,6 +67,9 @@ def main():
         "fused_int8_unroll": {"use_decode_kernel": True,
                               "decode_kernel_mode": "fused_int8",
                               "unroll_layers": True},
+        "fused_w8_unroll": {"use_decode_kernel": True,
+                            "decode_kernel_mode": "fused_w8",
+                            "unroll_layers": True},
     }
 
     results = {}
