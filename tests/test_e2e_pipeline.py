@@ -221,3 +221,38 @@ def test_mel_transformer_pipeline(dataset_dir):
         "--max-steps-per-epoch", "3",
         "--tensorboard", "false", "--oom-check", "false"])
     assert (exp / "epoch-1").exists()
+
+
+def test_preemption_checkpoint(dataset_dir, tokenized_dir, tmp_path):
+    """SIGTERM-style preemption: flag set mid-training -> a 'preempted'
+    checkpoint (with sampler state) is written and the trainer exits 0;
+    training can resume from it."""
+    import signal
+
+    import valle_tpu.bin.trainer as trainer_mod
+
+    exp = tmp_path / "exp_preempt"
+    argv = _trainer_args(dataset_dir, tokenized_dir, exp, stage=1)
+
+    orig_install = trainer_mod.install_preemption_handler
+
+    def install_and_fire():
+        orig_install()
+        # deterministic stand-in for an async SIGTERM: the flag is set the
+        # way the real handler sets it, before the first step completes
+        trainer_mod._on_preempt_signal(signal.SIGTERM, None)
+
+    trainer_mod.install_preemption_handler = install_and_fire
+    try:
+        with pytest.raises(SystemExit) as exc:
+            _run_main(trainer_mod.main, argv)
+        assert exc.value.code == 0
+    finally:
+        trainer_mod.install_preemption_handler = orig_install
+
+    assert (exp / "preempted").exists()
+    # the checkpoint must load (params + sampler state for mid-epoch resume)
+    from valle_tpu.utils import checkpoint as ckpt_lib
+
+    loaded = ckpt_lib.load_checkpoint(str(exp / "preempted"))
+    assert loaded is not None

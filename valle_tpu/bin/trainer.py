@@ -264,6 +264,33 @@ def compute_validation_loss(params, model, model_params, model_state,
     return tot
 
 
+# Preemption-aware save (SURVEY 5.3): SIGTERM/SIGUSR1 (the signals cloud
+# schedulers send before eviction) set this flag; the train loop finishes
+# the in-flight step, writes a "preempted" checkpoint with sampler state,
+# and exits 0 so `--start-batch`-style resume continues mid-epoch.
+_PREEMPT = {"signum": None}
+
+
+def _on_preempt_signal(signum, frame):  # pragma: no cover - signal path
+    _PREEMPT["signum"] = signum
+    logging.warning(
+        f"received signal {signum}: will checkpoint and exit after the "
+        "current step")
+
+
+def install_preemption_handler():
+    import signal
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        return  # signals only deliverable to the main thread
+    for sig in (signal.SIGTERM, signal.SIGUSR1):
+        try:
+            signal.signal(sig, _on_preempt_signal)
+        except (ValueError, OSError):  # pragma: no cover - exotic hosts
+            pass
+
+
 def save_checkpoint(exp_dir: Path, name: str, params, state, model,
                     sampler_state=None, model_avg=None):
     run_params = {
@@ -303,6 +330,8 @@ def run(args) -> None:
     )
 
     setup_distributed()
+    _PREEMPT["signum"] = None
+    install_preemption_handler()
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -593,6 +622,16 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
                             sampler_state=train_dl.sampler.state_dict(),
                             model_avg=model_avg)
             ckpt_lib.remove_checkpoints(str(exp_dir), args.keep_last_k)
+
+        if _PREEMPT["signum"] is not None:
+            save_checkpoint(exp_dir, "preempted", params, state, model,
+                            sampler_state=train_dl.sampler.state_dict(),
+                            model_avg=model_avg)
+            logging.warning(
+                f"preemption checkpoint saved to {exp_dir}/preempted "
+                f"(signal {_PREEMPT['signum']}, batch "
+                f"{params.batch_idx_train}); exiting")
+            raise SystemExit(0)
 
         if batch_idx % params.log_interval == 0:
             lr = float(metrics.get("lr", 0.0))
