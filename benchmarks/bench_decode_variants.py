@@ -70,6 +70,10 @@ def main():
         "fused_w8_unroll": {"use_decode_kernel": True,
                             "decode_kernel_mode": "fused_w8",
                             "unroll_layers": True},
+        "exact_seg": {"cache_segment": 128},
+        "fused_seg": {"use_decode_kernel": True,
+                      "decode_kernel_mode": "fused",
+                      "unroll_layers": True, "cache_segment": 128},
     }
 
     results = {}

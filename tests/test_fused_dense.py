@@ -214,3 +214,28 @@ def test_ar_decode_fused_w8_token_agreement():
     np.testing.assert_array_equal(np.asarray(bl), np.asarray(wl))
     agreement = float((np.asarray(base) == np.asarray(w8)).mean())
     assert agreement > 0.9, agreement
+
+
+def test_ar_decode_cache_segments_token_exact():
+    """Progressive cache segments must not change a single token: the
+    attention over a static cache prefix sees exactly the same valid keys
+    (everything past the write position is masked anyway)."""
+    from valle_tpu.models import ValleConfig, init_valle
+    from valle_tpu.models.inference import valle_ar_decode
+
+    cfg = ValleConfig(d_model=32, nhead=2, num_layers=2, prefix_mode=1,
+                      num_quantizers=8, max_len=512, max_prefix_len=8)
+    params, _ = init_valle(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    B, S, P, G = 2, 9, 6, 40
+    text = jax.random.randint(ks[0], (B, S), 0, 90)
+    text_lens = jnp.array([9, 6])
+    pq0 = jax.random.randint(ks[1], (B, P), 0, 1024)
+    p_lens = jnp.array([6, 4])
+    base, bl = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                               ks[2], top_k=1, max_gen_len=G)
+    seg, sl = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                              ks[2], top_k=1, max_gen_len=G,
+                              cache_segment=16)
+    np.testing.assert_array_equal(np.asarray(bl), np.asarray(sl))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(seg))

@@ -85,7 +85,7 @@ def quantize_decoder_weights(dec_p):
                      "force_full_length", "aligned_prompts",
                      "use_decode_kernel", "kernel_interpret",
                      "kv_cache_int8", "decode_kernel_mode",
-                     "unroll_layers"),
+                     "unroll_layers", "cache_segment"),
 )
 def valle_ar_decode(
     params,
@@ -107,6 +107,7 @@ def valle_ar_decode(
     kv_cache_int8: bool = False,
     decode_kernel_mode: str = "grouped",
     unroll_layers: bool = False,
+    cache_segment: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched KV-cache AR decode of quantizer-0 codes.
 
@@ -203,11 +204,13 @@ def valle_ar_decode(
         lg = top_k_top_p_filtering(lg, top_k=top_k, top_p=1.0)
         return jax.random.categorical(rng_s, lg, axis=-1)  # (B,)
 
-    def cond_fn(carry):
-        g, done = carry[0], carry[4]
-        return jnp.logical_and(g < max_gen_len, ~jnp.all(done))
+    def make_cond(g_end):
+        def cond_fn(carry):
+            g, done = carry[0], carry[4]
+            return jnp.logical_and(g < g_end, ~jnp.all(done))
+        return cond_fn
 
-    def body_fn(carry):
+    def body_fn(carry, attn_len=cache_len):
         g, rng_c, cache_c, logits, done, gen_codes, gen_lens = carry
         rng_c, rng_s = jax.random.split(rng_c)
         samples = sample(rng_s, logits)
@@ -237,7 +240,7 @@ def valle_ar_decode(
             write_pos = S + p_lens + g              # (B,)
         xstep = (e + pe)[:, None, :]                # (B, 1, D)
 
-        kk = jnp.arange(cache_len)[None, :]
+        kk = jnp.arange(attn_len)[None, :]
         wp = write_pos if not aligned_prompts else jnp.broadcast_to(
             write_pos, (B,))
         key_valid = (kk < x_lens[:, None]) | (
@@ -257,7 +260,7 @@ def valle_ar_decode(
                 decoder_p, xstep, cache_c, write_pos,
                 step_bias, nhead=cfg.nhead, norm_first=cfg.norm_first,
                 activation=cfg.activation, dtype=dtype, kernel_ctx=kctx,
-                unroll=unroll_layers)
+                unroll=unroll_layers, attn_len=attn_len)
         new_logits = (hidden_s[:, 0] @ W).astype(jnp.float32)
         return (g + 1, rng_c, cache_c, new_logits, done, gen_codes, gen_lens)
 
@@ -267,8 +270,37 @@ def valle_ar_decode(
         jnp.zeros((B, max_gen_len), jnp.int32),
         jnp.full((B,), max_gen_len, jnp.int32),
     )
-    g, _, _, _, done, gen_codes, gen_lens = jax.lax.while_loop(
-        cond_fn, body_fn, init)
+    S0 = S + bos + P
+    # Progressive cache segments: the decode attention is ELEMENT-rate
+    # bound (BASELINE.md), so reading the whole pre-allocated cache every
+    # step wastes time proportional to the unwritten tail. Splitting the
+    # while_loop into a few segments whose attention reads a STATIC cache
+    # prefix (static shapes; the write still aliases the full buffer)
+    # keeps the average read near the valid length — the same mechanism
+    # as the int8 kernel's valid-block skipping, token-exact, and it
+    # composes with the fused dense kernels. Kernel attention modes skip
+    # their own invalid blocks already, so segmentation applies only to
+    # the XLA-attention paths.
+    segmented = (cache_segment > 0
+                 and decode_kernel_mode not in ("int8_grouped", "grouped",
+                                                "per_sample", "fused_int8")
+                 and not kv_cache_int8)
+    if segmented:
+        bounds = []
+        L = ((S0 + 1 + cache_segment - 1) // cache_segment) * cache_segment
+        while L < cache_len:
+            bounds.append(L)
+            L += cache_segment
+        bounds.append(cache_len)
+    else:
+        bounds = [cache_len]
+
+    carry = init
+    for L in bounds:
+        g_end = min(max_gen_len, L - S0)
+        carry = jax.lax.while_loop(
+            make_cond(g_end), partial(body_fn, attn_len=L), carry)
+    g, _, _, _, done, gen_codes, gen_lens = carry
     return gen_codes, gen_lens
 
 

@@ -698,7 +698,7 @@ def encoder_stack_decode_step_int8(
 
 def encoder_stack_decode_step(
     p, x, cache, pos, bias, *, nhead, norm_first=True, activation="relu",
-    dtype=None, kernel_ctx=None, unroll=False,
+    dtype=None, kernel_ctx=None, unroll=False, attn_len=None,
 ):
     """One decode step through all layers. x: (B, 1, D); pos: (B,) indices.
 
@@ -803,7 +803,10 @@ def encoder_stack_decode_step(
         else:
             ck_all = ck_all.at[i, bidx, :, pos, :].set(k[:, :, 0, :])
             cv_all = cv_all.at[i, bidx, :, pos, :].set(v[:, :, 0, :])
-            out = _attend(q, ck_all[i], cv_all[i], bias)
+            # attn_len: static prefix of the cache to read (progressive
+            # cache segments — bias is already built at this width)
+            out = _attend(q, ck_all[i][:, :, :attn_len],
+                          cv_all[i][:, :, :attn_len], bias)
 
         out = _merge_heads(out)
         if fused_mode:
