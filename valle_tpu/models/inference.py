@@ -271,16 +271,16 @@ def valle_ar_decode(
         jnp.full((B,), max_gen_len, jnp.int32),
     )
     S0 = S + bos + P
-    # Progressive cache segments: the decode attention is ELEMENT-rate
-    # bound (BASELINE.md), so reading the whole pre-allocated cache every
-    # step wastes time proportional to the unwritten tail. Splitting the
-    # while_loop into a few segments whose attention reads a STATIC cache
-    # prefix (static shapes; the write still aliases the full buffer)
-    # keeps the average read near the valid length — the same mechanism
-    # as the int8 kernel's valid-block skipping, token-exact, and it
-    # composes with the fused dense kernels. Kernel attention modes skip
-    # their own invalid blocks already, so segmentation applies only to
-    # the XLA-attention paths.
+    # Progressive cache segments (cache_segment > 0): split the decode
+    # while_loop into segments whose attention reads a STATIC cache
+    # prefix, so the average read tracks the valid length — the int8
+    # kernel's valid-block-skipping mechanism, expressed as XLA static
+    # shapes; token-exact (tested). MEASURED A WASH at cache 890
+    # (exact_seg 4.823 vs base 4.825 ms/step: XLA materializes the carry
+    # slice, cancelling the saving) and HARMFUL with the fused kernels
+    # (9.8 ms — 5 loop bodies x 120 pallas call instances). Kept as an
+    # internal mechanism + measurement; NOT exposed through
+    # valle_inference/serving. Use decode_mode='int8' for long caches.
     segmented = (cache_segment > 0
                  and decode_kernel_mode not in ("int8_grouped", "grouped",
                                                 "per_sample", "fused_int8")
