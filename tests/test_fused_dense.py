@@ -239,3 +239,27 @@ def test_ar_decode_cache_segments_token_exact():
                               cache_segment=16)
     np.testing.assert_array_equal(np.asarray(bl), np.asarray(sl))
     np.testing.assert_array_equal(np.asarray(base), np.asarray(seg))
+
+
+def test_ar_decode_aligned_prompts_token_exact():
+    """aligned_prompts (scalar write position -> single DUS cache write)
+    must match the general per-sample-scatter path token for token."""
+    from valle_tpu.models import ValleConfig, init_valle
+    from valle_tpu.models.inference import valle_ar_decode
+
+    cfg = ValleConfig(d_model=32, nhead=2, num_layers=2, prefix_mode=1,
+                      num_quantizers=8, max_len=512, max_prefix_len=8)
+    params, _ = init_valle(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    B, S, P, G = 2, 9, 6, 20
+    text = jax.random.randint(ks[0], (B, S), 0, 90)
+    text_lens = jnp.array([9, 6])
+    pq0 = jax.random.randint(ks[1], (B, P), 0, 1024)
+    p_lens = jnp.full((B,), P)  # aligned: every sample has the full prompt
+    base, bl = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                               ks[2], top_k=1, max_gen_len=G)
+    al, all_ = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                               ks[2], top_k=1, max_gen_len=G,
+                               aligned_prompts=True)
+    np.testing.assert_array_equal(np.asarray(bl), np.asarray(all_))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(al))

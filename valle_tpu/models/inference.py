@@ -42,7 +42,7 @@ from .valle import ValleConfig, _pe_table, nar_predict_weights
 # ---------------------------------------------------------------------------
 
 
-def _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype):
+def _frontends(params, cfg, text, prompt_q0, dtype):
     """Embed text and audio prefix deterministically (inference)."""
     B, S = text.shape
     P = prompt_q0.shape[1]
@@ -150,7 +150,7 @@ def valle_ar_decode(
                    else BLOCK_K)
             cache_len = ((cache_len + blk - 1) // blk) * blk
 
-    x, y = _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype)
+    x, y = _frontends(params, cfg, text, prompt_q0, dtype)
     xy = jnp.concatenate([x, y], axis=1)           # (B, S0, D)
     S0 = S + bos + P
 
@@ -270,7 +270,6 @@ def valle_ar_decode(
         jnp.zeros((B, max_gen_len), jnp.int32),
         jnp.full((B,), max_gen_len, jnp.int32),
     )
-    S0 = S + bos + P
     # Progressive cache segments (cache_segment > 0): split the decode
     # while_loop into segments whose attention reads a STATIC cache
     # prefix, so the average read tracks the valid length — the int8
@@ -300,7 +299,7 @@ def valle_ar_decode(
         g_end = min(max_gen_len, L - S0)
         carry = jax.lax.while_loop(
             make_cond(g_end), partial(body_fn, attn_len=L), carry)
-    g, _, _, _, done, gen_codes, gen_lens = carry
+    _, _, _, _, _, gen_codes, gen_lens = carry
     return gen_codes, gen_lens
 
 
@@ -468,7 +467,7 @@ def vallf_ar_decode(
     p_lens = prompt_lens.astype(jnp.int32) + bos
     cache_len = bos + P + max_gen_len + 1
 
-    x, y = _frontends(params, cfg, text, prompt_q0, prompt_lens, dtype)
+    x, y = _frontends(params, cfg, text, prompt_q0, dtype)
     cross_bias = M.key_padding_bias(x_lens, S)
     Ty = bos + P
     self_bias = (M.causal_bias(Ty) + M.key_padding_bias(p_lens, Ty))
@@ -588,12 +587,17 @@ def valle_inference(
     ``decode_mode``: "exact" (reference-parity default), "unroll"
     (token-exact, statically unrolled layer loop), "fused" (token-exact,
     weight-streaming Pallas dense path — fastest at short caches),
-    "int8" / "fused_int8" (combined-KV int8 cache + fused-dequant Pallas
-    kernel — fastest at long caches, tokens may flip at near-ties; needs
-    valle + B % 8 == 0, silently falls back otherwise), or "auto" (pick
+    "fused_w8" (fused kernels streaming int8-quantized weights — halves
+    weight traffic/memory; near-tie tokens may flip, see
+    ``quantize_decoder_weights``; the weights are re-quantized on device
+    once per call, ~0.4 ms, hoisted out of the decode loop), "int8" /
+    "fused_int8" (combined-KV int8 cache + fused-dequant Pallas kernel —
+    fastest at long caches, tokens may flip at near-ties; needs valle +
+    B % 8 == 0, silently falls back otherwise), or "auto" (pick
     fused/int8 from the request shape via ``resolve_auto_decode_mode``).
-    At large batch (measured B=128) XLA's batched matmuls win — prefer
-    "exact"/"unroll" there (BASELINE.md).
+    Fused modes fall back to "unroll" when the model dims are not
+    128-aligned. At large batch (measured B=128) XLA's batched matmuls
+    keep pace — fused holds parity there, int8 loses (BASELINE.md).
 
     Returns (codes (B, max_gen_len, Q), gen_lens (B,)).
     """
@@ -614,14 +618,20 @@ def valle_inference(
                      "decode_kernel_mode": "int8_grouped"}
         elif decode_mode in ("fused", "fused_int8", "fused_w8"):
             # dense path (LN/QKV/out-proj/FFN) in weight-streaming Pallas
-            # kernels; attention on the exact XLA path ("fused") or the
+            # kernels; attention on the exact XLA path ("fused"/"fused_w8",
+            # the latter with int8-quantized streamed weights) or the
             # int8 combined-KV kernel ("fused_int8", needs B % 8 == 0 —
             # falls back to "fused" otherwise). Layers unrolled: measured
             # faster than the fori_loop with the fused kernels
             # (BASELINE.md) and still token-exact for "fused".
-            ar_kw = {"use_decode_kernel": True,
-                     "decode_kernel_mode": decode_mode,
-                     "unroll_layers": True}
+            from ..ops.fused_dense import fused_dense_supported
+
+            if fused_dense_supported(cfg.d_model, cfg.d_model * 4):
+                ar_kw = {"use_decode_kernel": True,
+                         "decode_kernel_mode": decode_mode,
+                         "unroll_layers": True}
+            else:  # odd model shapes: token-exact XLA fallback
+                ar_kw = {"unroll_layers": True}
     gen_q0, gen_lens = ar_decode(
         params, cfg, text, text_lens, prompt_codes[..., 0], prompt_lens,
         rng, top_k=top_k, temperature=temperature, max_gen_len=max_gen_len,
@@ -654,9 +664,10 @@ def valle_continual(
     """Codec-resynthesis diagnostic (reference valle.py:1139-1238).
 
     Keeps quantizer-0 of the second half and regenerates quantizers 1..7.
-    prefix = min(T/2, 225). Returns (codes (B, T, Q), out_lens) where the
-    first ``prefix`` frames are zeros (reference returns y[prefix:]; we
-    keep a static T and report out_lens = y_lens - prefix).
+    prefix = min(T/2, 225). Returns (codes (B, T, Q), out_lens): like the
+    reference's ``y[prefix:]``, row t of ``codes`` is utterance frame
+    prefix+t (the output starts at row 0; static T, so rows past
+    out_lens = y_lens - prefix are masked zeros).
     """
     B, T, Q = y.shape
     y = y.astype(jnp.int32)
@@ -669,7 +680,6 @@ def valle_continual(
 
     # layout: single contiguous y region; prompt is the first prefix frames
     prompt_codes = jnp.where(in_prompt[..., None], y, 0)
-    gen_q0 = jnp.where(in_prompt | ~valid, 0, y[..., 0])
 
     # Reuse the NAR machinery with a mask-based single-region layout:
     # treat prompt region as "prompt" slots and the rest as "generated".

@@ -328,12 +328,15 @@ def init_encoder_layer(rng, d: int, nhead: int, dim_ff: int, adaptive: bool):
 
 
 def init_decoder_layer(rng, d: int, nhead: int, dim_ff: int, adaptive: bool):
-    ks = jax.random.split(rng, 7)
-    p = init_encoder_layer(rng, d, nhead, dim_ff, adaptive)
+    # distinct keys per sub-init: passing the parent rng into
+    # init_encoder_layer while also consuming split(rng, 7)[5:] only
+    # avoided key overlap by an implementation detail of threefry splits
+    k_enc, k_cross, k_norm3 = jax.random.split(rng, 3)
+    p = init_encoder_layer(k_enc, d, nhead, dim_ff, adaptive)
     norm_init = (lambda r: init_ada_layer_norm(r, d)) if adaptive else (
         lambda r: init_layer_norm(d))
-    p["cross_attn"] = init_mha(ks[5], d, nhead)
-    p["norm3"] = norm_init(ks[6])
+    p["cross_attn"] = init_mha(k_cross, d, nhead)
+    p["norm3"] = norm_init(k_norm3)
     return p
 
 
@@ -668,14 +671,45 @@ def encoder_stack_decode_step_int8(
     dtype=None,
 ):
     """Like encoder_stack_decode_step but over an int8 KV cache with
-    per-position scales (cache keys: k, v, k_scale, v_scale)."""
+    per-position scales (cache keys: k, v, k_scale, v_scale).
 
-    def body(h, inp):
-        lp, ck, cv, ksc, vsc = inp
+    Caches are fori_loop CARRIES (not scan ys): scan double-buffers its
+    ys, copying every layer's whole cache each token — the same pathology
+    the PERF NOTE in encoder_stack_decode_step documents; carries alias
+    in place (writes go straight into the stacked arrays) so only the
+    written row costs traffic."""
+    L = jax.tree_util.tree_leaves(p["layers"])[0].shape[0]
+    B = x.shape[0]
+    bidx = jnp.arange(B)
+
+    def body(i, carry):
+        h, ck_all, cv_all, ksc_all, vsc_all = carry
+        lp = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+            p["layers"])
         hin = apply_norm(lp["norm1"], h, None) if norm_first else h
-        sa_out, ck, cv, ksc, vsc = mha_decode_step_int8(
-            lp["self_attn"], hin, ck, cv, ksc, vsc, pos, bias, nhead,
-            dtype=dtype)
+
+        ap = lp["self_attn"]
+        in_w = ap["in_w"] if dtype is None else ap["in_w"].astype(dtype)
+        in_b = ap["in_b"] if dtype is None else ap["in_b"].astype(dtype)
+        qkv = hin @ in_w + in_b
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, nhead)
+        k = _split_heads(k, nhead)
+        v = _split_heads(v, nhead)
+        kq, ksc = quantize_kv(k)
+        vq, vsc = quantize_kv(v)
+        ck_all = ck_all.at[i, bidx, :, pos, :].set(kq[:, :, 0, :])
+        cv_all = cv_all.at[i, bidx, :, pos, :].set(vq[:, :, 0, :])
+        ksc_all = ksc_all.at[i, bidx, :, pos].set(ksc[:, :, 0])
+        vsc_all = vsc_all.at[i, bidx, :, pos].set(vsc[:, :, 0])
+        dt = q.dtype
+        kf = ck_all[i].astype(dt) * ksc_all[i][..., None].astype(dt)
+        vf = cv_all[i].astype(dt) * vsc_all[i][..., None].astype(dt)
+        out = _merge_heads(_attend(q, kf, vf, bias))
+        out_w = ap["out_w"] if dtype is None else ap["out_w"].astype(dtype)
+        out_b = ap["out_b"] if dtype is None else ap["out_b"].astype(dtype)
+        sa_out = out @ out_w + out_b
         if norm_first:
             h = h + sa_out
             h = h + _ffn(lp["ffn"], apply_norm(lp["norm2"], h, None),
@@ -686,11 +720,11 @@ def encoder_stack_decode_step_int8(
             h = apply_norm(lp["norm2"], h + _ffn(
                 lp["ffn"], h, activation, dropout_rate=0.0, rng=None,
                 deterministic=True, dtype=dtype), None)
-        return h, (ck, cv, ksc, vsc)
+        return (h, ck_all, cv_all, ksc_all, vsc_all)
 
-    h, (ks, vs, kscs, vscs) = jax.lax.scan(
-        body, x, (p["layers"], cache["k"], cache["v"], cache["k_scale"],
-                  cache["v_scale"]))
+    h, ks, vs, kscs, vscs = jax.lax.fori_loop(
+        0, L, body, (x, cache["k"], cache["v"], cache["k_scale"],
+                     cache["v_scale"]))
     if "final_norm" in p:
         h = apply_norm(p["final_norm"], h, None)
     return h, {"k": ks, "v": vs, "k_scale": kscs, "v_scale": vscs}
@@ -801,8 +835,19 @@ def encoder_stack_decode_step(
                 out = decode_attention(q, ck_all[i], cv_all[i], x_lens,
                                        write_pos, S=S, interpret=interp)
         else:
-            ck_all = ck_all.at[i, bidx, :, pos, :].set(k[:, :, 0, :])
-            cv_all = cv_all.at[i, bidx, :, pos, :].set(v[:, :, 0, :])
+            if jnp.ndim(pos) == 0:
+                # aligned prompts (scalar pos): one dynamic-update-slice
+                # instead of a per-sample scatter — the serving fast path
+                # valle_ar_decode's aligned_prompts documents
+                ck_all = jax.lax.dynamic_update_slice(
+                    ck_all, k[None, :, :, :, :].astype(ck_all.dtype),
+                    (i, 0, 0, pos, 0))
+                cv_all = jax.lax.dynamic_update_slice(
+                    cv_all, v[None, :, :, :, :].astype(cv_all.dtype),
+                    (i, 0, 0, pos, 0))
+            else:
+                ck_all = ck_all.at[i, bidx, :, pos, :].set(k[:, :, 0, :])
+                cv_all = cv_all.at[i, bidx, :, pos, :].set(v[:, :, 0, :])
             # attn_len: static prefix of the cache to read (progressive
             # cache segments — bias is already built at this width)
             out = _attend(q, ck_all[i][:, :, :attn_len],

@@ -56,6 +56,23 @@ import jax.numpy as jnp
 _CHUNK = 512
 
 
+def _pick_chunk(*dims: int) -> int:
+    """Largest chunk width <= _CHUNK dividing every given dim (>=1)."""
+    c = min(_CHUNK, *dims)
+    while any(d % c for d in dims):
+        c -= 1
+    return c
+
+
+def fused_dense_supported(d_model: int, dim_ff: int) -> bool:
+    """True when the fused kernels' streamed slices are TPU-lane aligned
+    for this model shape (all matmul dims multiples of 128). Callers
+    (valle_inference / resolve_auto_decode_mode) fall back to the XLA
+    path otherwise instead of tripping Mosaic alignment failures."""
+    return (d_model % 128 == 0 and (3 * d_model) % 128 == 0
+            and dim_ff % 128 == 0)
+
+
 def quantize_weights_per_channel(w, axis: int = -2):
     """Per-output-channel symmetric int8 quantization of a weight matrix
     (..., D_in, D_out): reduce |max| over ``axis`` (the input dim).
@@ -140,8 +157,7 @@ def fused_ln_qkv(h, ln_scale, ln_bias, in_w, in_b, layer, *,
 
     B, D = h.shape
     CO = in_w.shape[-1]
-    cw = min(_CHUNK, CO)      # tiny test models: one chunk
-    assert CO % cw == 0, CO
+    cw = _pick_chunk(CO)      # largest divisor of CO up to _CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -279,8 +295,7 @@ def fused_tail(attn_out, h_res, out_w, out_b, ln2_scale, ln2_bias,
 
     B, D = attn_out.shape
     F = w1.shape[-1]
-    cw = min(_CHUNK, D, F)    # tiny test models: one chunk per matrix
-    assert D % cw == 0 and F % cw == 0, (D, F)
+    cw = _pick_chunk(D, F)    # largest common divisor chunk up to _CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),

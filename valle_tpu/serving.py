@@ -65,7 +65,8 @@ class Synthesizer:
         # is mesh-exclusive.
         self.mesh = mesh
         if mesh is not None:
-            if decode_mode in ("int8", "fused", "fused_int8", "auto"):
+            if decode_mode in ("int8", "fused", "fused_int8", "fused_w8",
+                               "auto"):
                 raise ValueError(
                     f"decode_mode='{decode_mode}' is single-device (Pallas "
                     "custom calls do not partition); use 'exact' or "
@@ -82,9 +83,10 @@ class Synthesizer:
         self.max_gen_len = max_gen_len
         self.compute_dtype = compute_dtype or jnp.bfloat16
         # "exact" | "unroll" (token-exact) | "fused" (token-exact, Pallas
-        # dense path) | "int8" | "fused_int8" (fastest at long caches;
-        # int8 KV cache, needs batch % 8 == 0) | "auto" (fused/int8 by
-        # request shape — see models.inference.resolve_auto_decode_mode)
+        # dense path) | "fused_w8" (int8-quantized streamed weights) |
+        # "int8" | "fused_int8" (fastest at long caches; int8 KV cache,
+        # needs batch % 8 == 0) | "auto" (fused/int8 by request shape —
+        # see models.inference.resolve_auto_decode_mode)
         self.decode_mode = decode_mode
         # EnCodec decoder precision. Serving defaults to bfloat16 to match
         # compute_dtype (+31% codec decode, 41 dB SNR vs fp32 — far below
