@@ -263,3 +263,29 @@ def test_ar_decode_aligned_prompts_token_exact():
                                aligned_prompts=True)
     np.testing.assert_array_equal(np.asarray(bl), np.asarray(all_))
     np.testing.assert_array_equal(np.asarray(base), np.asarray(al))
+
+
+def test_valle_inference_fused_fallback_on_unaligned_dims():
+    """decode_mode='fused' on a model whose dims are not 128-aligned must
+    fall back to the token-exact XLA unroll path (and therefore run on
+    CPU without trying to compile real Pallas kernels)."""
+    from valle_tpu.models import ValleConfig, init_valle
+    from valle_tpu.models.inference import valle_inference
+
+    cfg = ValleConfig(d_model=32, nhead=2, num_layers=2, prefix_mode=1,
+                      num_quantizers=8, max_len=512, max_prefix_len=8)
+    params, _ = init_valle(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    B, S, P = 2, 9, 6
+    text = jax.random.randint(ks[0], (B, S), 0, 90)
+    text_lens = jnp.array([9, 6])
+    codes = jax.random.randint(ks[1], (B, P, 8), 0, 1024)
+    p_lens = jnp.array([6, 4])
+    exact, el = valle_inference(params, cfg, text, text_lens, codes,
+                                p_lens, top_k=1, rng=ks[2], max_gen_len=16,
+                                decode_mode="exact")
+    fused, fl = valle_inference(params, cfg, text, text_lens, codes,
+                                p_lens, top_k=1, rng=ks[2], max_gen_len=16,
+                                decode_mode="fused")
+    np.testing.assert_array_equal(np.asarray(el), np.asarray(fl))
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(fused))
