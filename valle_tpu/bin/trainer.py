@@ -199,6 +199,10 @@ def load_checkpoint_if_available(params, exp_dir: Path, model,
     path = None
     if params.start_batch > 0:
         path = exp_dir / f"checkpoint-{params.start_batch}"
+    elif (exp_dir / "preempted").exists():
+        # automatic preemption resume: schedulers restart the same
+        # command, so the SIGTERM checkpoint loads without extra flags
+        path = exp_dir / "preempted"
     elif params.start_epoch > 1:
         path = exp_dir / f"epoch-{params.start_epoch - 1}"
     if path is None or not path.exists():
@@ -222,6 +226,9 @@ def load_checkpoint_if_available(params, exp_dir: Path, model,
     return items, meta
 
 
+_VALID_FWD_CACHE: dict = {}
+
+
 def compute_validation_loss(params, model, model_params, model_state,
                             valid_dl, compute_dtype, mesh=None):
     import jax
@@ -232,17 +239,25 @@ def compute_validation_loss(params, model, model_params, model_state,
     from ..models.valle import valle_forward
 
     tot = MetricsTracker()
-    if isinstance(model, ValleModel):
-        fwd = jax.jit(partial(
-            valle_forward, cfg=model.cfg, train_stage=params.train_stage,
-            deterministic=True, compute_dtype=compute_dtype,
-            nar_stage=jnp.int32(1)))
-    else:
-        from ..models.transformer import transformer_tts_forward
+    # cache the jitted forward across validation rounds: rebuilding
+    # jax.jit(partial(...)) each call discards the trace cache and
+    # re-traces every bucket shape every valid_interval
+    key = (id(model), params.train_stage, compute_dtype)
+    fwd = _VALID_FWD_CACHE.get(key)
+    if fwd is None:
+        if isinstance(model, ValleModel):
+            fwd = jax.jit(partial(
+                valle_forward, cfg=model.cfg,
+                train_stage=params.train_stage,
+                deterministic=True, compute_dtype=compute_dtype,
+                nar_stage=jnp.int32(1)))
+        else:
+            from ..models.transformer import transformer_tts_forward
 
-        fwd = jax.jit(partial(
-            transformer_tts_forward, cfg=model.cfg,
-            deterministic=True, compute_dtype=compute_dtype))
+            fwd = jax.jit(partial(
+                transformer_tts_forward, cfg=model.cfg,
+                deterministic=True, compute_dtype=compute_dtype))
+        _VALID_FWD_CACHE[key] = fwd
     for batch in valid_dl:
         mb = _model_batch(batch, accum=1,
                           dp=mesh.shape["data"] if mesh is not None else 1)
@@ -303,16 +318,13 @@ def save_checkpoint(exp_dir: Path, name: str, params, state, model,
         "text_tokens": str(params.text_tokens),
         "env_info": params.env_info,
     }
-    items = {"params": state.params, "state": state.model_state,
-             "opt_state": state.opt_state}
-    if model_avg is not None:
-        items["model_avg"] = model_avg
     import jax
 
     if jax.process_index() == 0:
         ckpt_lib.save_checkpoint(
-            str(exp_dir), name, params=items.pop("params"),
-            state=items.pop("state"), opt_state=items.pop("opt_state"),
+            str(exp_dir), name, params=state.params,
+            state=state.model_state, opt_state=state.opt_state,
+            model_avg=model_avg,
             sampler_state=sampler_state, run_params=run_params)
 
 
@@ -373,7 +385,10 @@ def run(args) -> None:
     opt, lr_fn = make_optimizer(
         init_params, base_lr=args.base_lr,
         clipping_scale=2.0 if args.optimizer_name == "ScaledAdam" else None,
-        train_stage=args.train_stage, warmup_steps=args.warmup_steps)
+        train_stage=args.train_stage, warmup_steps=args.warmup_steps,
+        optimizer_name=args.optimizer_name,
+        scheduler_name=args.scheduler_name,
+        decoder_dim=args.decoder_dim)
     opt_state = opt.init(init_params)
     state = TrainState(params=init_params, opt_state=opt_state,
                        model_state=init_state,
@@ -460,10 +475,15 @@ def scan_largest_batches_for_compile(args, cfg, step_fn, state, train_dl,
     import jax.numpy as jnp
 
     shapes = {}
+    # iterating the sampler pops its mid-epoch resume counter
+    # (_resume_consumed); preserve it or --start-batch resume silently
+    # replays the epoch from the top when oom-check is on
+    resume_consumed = getattr(train_dl.sampler, "_resume_consumed", 0)
     for b in train_dl.sampler:
         key = (b.pad_audio_to, b.pad_text_to)
         if key not in shapes:
             shapes[key] = b
+    train_dl.sampler._resume_consumed = resume_consumed
     logging.info(f"compile-scan over {len(shapes)} bucket shapes")
     for key, b in sorted(shapes.items(), reverse=True):
         batch = train_dl.dataset.__getitem__(
@@ -536,13 +556,17 @@ def _diagnose_nonfinite_step(args, model, prev_state, mb, epoch, rng,
         forward_fn = valle_forward
 
     micro = mb
+    step_rng = jax.random.fold_in(rng, prev_state.step)
     if args.accumulate_grad_steps > 1:  # diagnose the first microbatch
         micro = {k: v[0] for k, v in mb.items()}
+        # match the real step's per-microbatch fold (training.py) or the
+        # dropout masks differ and the NaN may not reproduce
+        step_rng = jax.random.fold_in(step_rng, 0)
 
     def loss_fn(p, batch):
         loss, _, _ = forward_fn(
             p, model.cfg, batch, train_stage=args.train_stage,
-            rng=jax.random.fold_in(rng, prev_state.step),
+            rng=step_rng,
             deterministic=False, compute_dtype=compute_dtype,
             state=prev_state.model_state)
         return loss
@@ -579,7 +603,8 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
             mb = _place_batch(mb, mesh, args.accumulate_grad_steps)
         prev_state = state if args.inf_check else None
         try:
-            state, metrics = step_fn(state, mb, jnp.int32(epoch), rng)
+            # reference steps Eden with epoch-1 (trainer.py:1033)
+            state, metrics = step_fn(state, mb, jnp.int32(epoch - 1), rng)
         except Exception:
             fname = exp_dir / f"batch-{uuid.uuid4()}.npz"
             np.savez(fname, **{k: np.asarray(v) for k, v in mb.items()})
@@ -674,6 +699,10 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
         if args.max_steps_per_epoch and (
                 batch_idx + 1 >= args.max_steps_per_epoch):
             break
+
+    if profiling:  # epoch ended before batch 20: finalize the trace
+        jax.profiler.stop_trace()
+        logging.info(f"profiler trace written to {exp_dir}/profile")
 
     epoch_loss = tot_loss["loss"] / max(tot_loss["frames"], 1)
     if epoch_loss < params.best_train_loss:

@@ -123,7 +123,10 @@ class Synthesizer:
                 enroll = tokenize_text(self.text_tokenizer, r.prompt_text)
                 enroll_lens.append(len(enroll) + 2)
             else:
-                enroll_lens.append(0)
+                # 2 = identity under trim_enrolled_text (prefix modes 2/4
+                # subtract enroll-2 phonemes); 0 would SHIFT the text and
+                # grow text_lens by two padding positions
+                enroll_lens.append(2)
             if r.prompt_codes is not None:
                 prompt_codes.append(np.asarray(r.prompt_codes, np.int32))
             elif r.prompt_wav:
@@ -164,11 +167,21 @@ class Synthesizer:
             self.max_gen_len, _round_up(int(text_lens.max()) * 16 + 2, 64))
 
         batch = [text_ids, text_lens, prompts, p_lens, enroll_lens]
+        # snap the batch size to a grid (1,2,4,8,16,24,...) like every
+        # other axis: raw len(reqs) would compile a fresh decode program
+        # per distinct concurrent-request count. Pad rows repeat request
+        # 0 and are trimmed from the results below; multiples of 8 keep
+        # the int8 kernel modes eligible.
+        B = len(reqs)
+        Bp = 1 << (B - 1).bit_length() if B < 8 else _round_up(B, 8)
+        if Bp != B:
+            batch = [np.concatenate(
+                [a, np.repeat(a[:1], Bp - B, axis=0)]) for a in batch]
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             dp = self.mesh.shape["data"]
-            B = len(reqs)
+            B = batch[0].shape[0]        # grid-padded row count
             Bp = -(-B // dp) * dp
             if Bp != B:  # pad to the data axis by repeating request 0
                 batch = [np.concatenate(
@@ -188,11 +201,13 @@ class Synthesizer:
             rng=step_rng, max_gen_len=gen_budget,
             compute_dtype=self.compute_dtype,
             decode_mode=self.decode_mode)
-        codes = np.asarray(codes)[: len(reqs)]   # drop mesh padding rows
+        # decode the PADDED batch on-device (same static shape as the
+        # decode program), then trim the padding rows per request
+        wavs = self.audio_tokenizer.decode(np.asarray(codes),
+                                           dtype=self.codec_dtype)
+        wavs = wavs[: len(reqs)]
+        codes = np.asarray(codes)[: len(reqs)]   # drop padding rows
         gen_lens = np.asarray(gen_lens)[: len(reqs)]
-
-        # decode the whole batch on-device, then trim per request
-        wavs = self.audio_tokenizer.decode(codes, dtype=self.codec_dtype)
         out = []
         for i in range(len(reqs)):
             n = int(gen_lens[i])

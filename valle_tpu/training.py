@@ -35,28 +35,58 @@ def make_optimizer(params, *, base_lr: float = 0.05,
                    clipping_scale: Optional[float] = 2.0,
                    train_stage: int = 0,
                    warmup_steps: float = 200.0,
-                   lr_batches: float = 5000.0, lr_epochs: float = 4.0):
-    """ScaledAdam + Eden, masked to the train stage's parameter subtree.
+                   lr_batches: float = 5000.0, lr_epochs: float = 4.0,
+                   optimizer_name: str = "ScaledAdam",
+                   scheduler_name: str = "Eden",
+                   decoder_dim: int = 1024):
+    """Optimizer + schedule, masked to the train stage's parameter subtree.
 
-    Matches the reference optimizer build (``bin/trainer.py:917-977``).
-    Stage masking applies only to models with ar/nar subtrees.
+    Matches the reference optimizer build (``bin/trainer.py:917-977``):
+    ScaledAdam (default), Eve, AdamW, Adam; scheduler Eden (default) or
+    Noam. Stage masking applies only to models with ar/nar subtrees.
     Returns (optimizer, lr_fn(batch, epoch)).
     """
-    # everything but learning_rate is static (inject_hyperparams would
-    # otherwise treat callables as schedules and ints as traced arrays)
-    static = {"clipping_scale", "b1", "b2", "scalar_lr_scale", "eps",
-              "param_min_rms", "param_max_rms", "scalar_max",
-              "size_update_period", "clipping_update_period", "stacked_fn",
-              "clip_main_grad"}
-    opt = optax.inject_hyperparams(scaled_adam, static_args=static)(
-        learning_rate=base_lr, clipping_scale=clipping_scale)
+    oname = optimizer_name.lower()
+    if oname == "scaledadam":
+        # everything but learning_rate is static (inject_hyperparams would
+        # otherwise treat callables as schedules and ints as traced arrays)
+        static = {"clipping_scale", "b1", "b2", "scalar_lr_scale", "eps",
+                  "param_min_rms", "param_max_rms", "scalar_max",
+                  "size_update_period", "clipping_update_period",
+                  "stacked_fn", "clip_main_grad"}
+        opt = optax.inject_hyperparams(scaled_adam, static_args=static)(
+            learning_rate=base_lr, clipping_scale=clipping_scale)
+    elif oname == "eve":
+        from .optim.eve import eve
+
+        opt = optax.inject_hyperparams(eve)(learning_rate=base_lr)
+    elif oname == "adamw":  # reference betas/wd (trainer.py:959-966)
+        opt = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=base_lr, b1=0.9, b2=0.95, weight_decay=1e-2,
+            eps=1e-8)
+    elif oname == "adam":
+        opt = optax.inject_hyperparams(optax.adam)(
+            learning_rate=base_lr, b1=0.9, b2=0.95, eps=1e-8)
+    else:
+        raise NotImplementedError(f"optimizer {optimizer_name}")
     if train_stage in (1, 2) and isinstance(params, dict) and \
             "ar" in params and "nar" in params:
         mask = stage_params_mask(params, train_stage)
         opt = optax.masked(opt, mask)
-    lr_fn = functools.partial(eden_lr, base_lr, lr_batches=lr_batches,
-                              lr_epochs=lr_epochs,
-                              warmup_batches=warmup_steps)
+
+    sname = scheduler_name.lower()
+    if sname == "eden":
+        lr_fn = functools.partial(eden_lr, base_lr, lr_batches=lr_batches,
+                                  lr_epochs=lr_epochs,
+                                  warmup_batches=warmup_steps)
+    elif sname == "noam":
+        from .optim.schedules import noam_lr
+
+        lr_fn = lambda batch, epoch: noam_lr(  # noqa: E731
+            base_lr, batch, dim_embed=decoder_dim,
+            warmup_steps=warmup_steps)
+    else:
+        raise NotImplementedError(f"scheduler {scheduler_name}")
     return opt, lr_fn
 
 

@@ -236,6 +236,7 @@ def save_checkpoint(
     params,
     state=None,
     opt_state=None,
+    model_avg=None,
     sampler_state: Optional[dict] = None,
     run_params: Optional[dict] = None,
 ) -> str:
@@ -254,6 +255,8 @@ def save_checkpoint(
         items["state"] = state
     if opt_state is not None:
         items["opt_state"] = opt_state
+    if model_avg is not None:
+        items["model_avg"] = model_avg
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path / "tree", items)
     meta = {"sampler_state": sampler_state, "run_params": run_params}
