@@ -92,7 +92,9 @@ def main():
     opt, lr_fn = make_optimizer(opt_params, base_lr=0.05, train_stage=1)
     del opt_params
 
-    rng = jax.random.PRNGKey(0)
+    # rbg dropout keys: the trainer default (+30% step time vs threefry,
+    # bench_train_rng.py)
+    rng = jax.random.key(0, impl="rbg")
     results = {}
 
     def time_path(name, batches, step_fn, state, frames_of):

@@ -244,14 +244,21 @@ def test_sampler_fast_forward_resume(tmp_path):
 def test_sampler_dp_sharding(tmp_path):
     cs = _make_cutset(tmp_path, n=40)
     ids0, ids1 = set(), set()
+    counts = {}
     for rank, acc in ((0, ids0), (1, ids1)):
         s = DynamicBucketingSampler(cs, max_duration=6.0, num_buckets=2,
                                     shuffle=True, seed=3, world_size=2,
                                     rank=rank)
+        n = 0
         for b in s:
             acc.update(c.id for c in b.cuts)
+            n += 1
+        counts[rank] = n
     assert ids0.isdisjoint(ids1)
-    assert len(ids0 | ids1) == 40
+    # EQUAL batch counts per rank (an uneven split would deadlock the
+    # multihost SPMD step); the uneven tail batch may be dropped
+    assert counts[0] == counts[1]
+    assert len(ids0 | ids1) >= 40 - 8  # at most one tail batch dropped
 
 
 def test_dataset_batches(tmp_path):
@@ -293,3 +300,33 @@ def test_fbank_shapes():
     assert abs(feats.shape[0] - round(0.5 * sr / 256)) <= 1
     assert np.isfinite(feats).all()
     assert feats.min() >= np.log(1e-5) - 1e-6
+
+
+def test_dataloader_state_counts_delivered_not_prefetched(tmp_path):
+    """Mid-epoch checkpoint state must count batches DELIVERED to the
+    trainer; the worker pool prefetches ahead of training."""
+    import time
+
+    from valle_tpu.data.datamodule import DataLoader
+
+    cs = _make_cutset(tmp_path, n=40)
+    collater = TextTokenCollater(sorted({t for c in cs for t in c.tokens}))
+    ds = SpeechSynthesisDataset(collater)
+    sampler = DynamicBucketingSampler(cs, max_duration=6.0, num_buckets=2,
+                                      shuffle=True, seed=3)
+    dl = DataLoader(ds, sampler, num_workers=2, prefetch=4)
+    it = iter(dl)
+    for _ in range(3):
+        next(it)
+    time.sleep(0.3)  # let the pool run ahead
+    assert dl.state_dict()["consumed"] == 3
+    # resume from that state replays from batch 4 (not from the top and
+    # not past prefetched batches)
+    n_total = sum(1 for _ in DynamicBucketingSampler(
+        cs, max_duration=6.0, num_buckets=2, shuffle=True, seed=3))
+    sampler2 = DynamicBucketingSampler(cs, max_duration=6.0, num_buckets=2,
+                                       shuffle=True, seed=3)
+    sampler2.load_state_dict(dl.state_dict())
+    rest = sum(1 for _ in sampler2)
+    assert rest == n_total - 3
+    it.close()

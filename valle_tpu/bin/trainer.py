@@ -474,7 +474,7 @@ def run(args) -> None:
             args, params, model, state, step_fn, train_dl, valid_dl,
             compute_dtype, tb_writer, rng, epoch, exp_dir, model_avg, mesh)
         save_checkpoint(exp_dir, f"epoch-{epoch}", params, state, model,
-                        sampler_state=train_dl.sampler.state_dict(),
+                        sampler_state=train_dl.state_dict(),
                         model_avg=model_avg)
     logging.info("Done!")
     return state
@@ -657,13 +657,13 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
             save_checkpoint(exp_dir,
                             f"checkpoint-{params.batch_idx_train}",
                             params, state, model,
-                            sampler_state=train_dl.sampler.state_dict(),
+                            sampler_state=train_dl.state_dict(),
                             model_avg=model_avg)
             ckpt_lib.remove_checkpoints(str(exp_dir), args.keep_last_k)
 
         if _PREEMPT["signum"] is not None:
             save_checkpoint(exp_dir, "preempted", params, state, model,
-                            sampler_state=train_dl.sampler.state_dict(),
+                            sampler_state=train_dl.state_dict(),
                             model_avg=model_avg)
             logging.warning(
                 f"preemption checkpoint saved to {exp_dir}/preempted "

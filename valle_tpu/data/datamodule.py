@@ -28,7 +28,16 @@ from .sampler import DynamicBucketingSampler, SimpleCutSampler
 
 
 class DataLoader:
-    """Sampler + dataset -> iterator of model batches with prefetching."""
+    """Sampler + dataset -> iterator of model batches with prefetching.
+
+    ``num_workers`` loader threads run ``dataset.__getitem__`` (numpy +
+    h5py, which release the GIL) over a bounded in-flight window; batches
+    are handed to the consumer IN ORDER. ``state_dict()`` reports the
+    number of batches actually DELIVERED to the consumer (not prefetched)
+    so mid-epoch checkpoints resume exactly where training stopped.
+    Tear-down is leak-free: abandoning the iterator (break / exception)
+    stops the feeder and workers via a shared event.
+    """
 
     def __init__(self, dataset: SpeechSynthesisDataset, sampler,
                  num_workers: int = 2, prefetch: int = 4):
@@ -36,38 +45,109 @@ class DataLoader:
         self.sampler = sampler
         self.num_workers = max(num_workers, 0)
         self.prefetch = prefetch
+        self._delivered = 0          # consumer-side count, this epoch
+        self._resume_skip = 0        # sampler skip offset at epoch start
+
+    def state_dict(self) -> dict:
+        """Sampler state with 'consumed' corrected to DELIVERED batches
+        (the prefetch pipeline advances the sampler ahead of training)."""
+        sd = dict(self.sampler.state_dict())
+        sd["consumed"] = self._resume_skip + self._delivered
+        return sd
+
+    def _load(self, b):
+        return self.dataset.__getitem__(
+            b.cuts, pad_audio_to=b.pad_audio_to, pad_text_to=b.pad_text_to)
 
     def __iter__(self) -> Iterator[dict]:
+        self._delivered = 0
+        self._resume_skip = getattr(self.sampler, "_resume_consumed", 0)
         if self.num_workers == 0:
             for b in self.sampler:
-                yield self.dataset.__getitem__(
-                    b.cuts, pad_audio_to=b.pad_audio_to,
-                    pad_text_to=b.pad_text_to)
+                out = self._load(b)
+                self._delivered += 1
+                yield out
             return
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        tasks: "queue.Queue" = queue.Queue(
+            maxsize=self.prefetch + self.num_workers)
+        done: dict = {}
+        state = {"total": None, "error": None}
+        cv = threading.Condition()
         sentinel = object()
 
-        def producer():
-            try:
-                for b in self.sampler:
-                    q.put(self.dataset.__getitem__(
-                        b.cuts, pad_audio_to=b.pad_audio_to,
-                        pad_text_to=b.pad_text_to))
-            except BaseException as e:  # surface worker errors
-                q.put(e)
-            finally:
-                q.put(sentinel)
+        def _put(item):
+            while not stop.is_set():
+                try:
+                    tasks.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        def feeder():
+            i = -1
+            try:
+                for i, b in enumerate(self.sampler):
+                    if not _put((i, b)):
+                        return
+            except BaseException as e:
+                with cv:
+                    state["error"] = e
+                    cv.notify_all()
+            finally:
+                with cv:
+                    if state["total"] is None:
+                        state["total"] = i + 1
+                    cv.notify_all()
+                for _ in range(self.num_workers):
+                    _put(sentinel)
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    item = tasks.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+                if item is sentinel:
+                    return
+                i, b = item
+                try:
+                    out = self._load(b)
+                except BaseException as e:
+                    with cv:
+                        state["error"] = e
+                        cv.notify_all()
+                    return
+                with cv:
+                    done[i] = out
+                    cv.notify_all()
+
+        threads = [threading.Thread(target=feeder, daemon=True)]
+        threads += [threading.Thread(target=worker, daemon=True)
+                    for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        nxt = 0
+        try:
+            while True:
+                with cv:
+                    while (state["error"] is None and nxt not in done
+                           and (state["total"] is None
+                                or nxt < state["total"])):
+                        cv.wait()
+                    if state["error"] is not None:
+                        raise state["error"]
+                    if state["total"] is not None and nxt >= state["total"]:
+                        return
+                    out = done.pop(nxt)
+                nxt += 1
+                self._delivered += 1
+                yield out
+        finally:
+            stop.set()
 
 
 class TtsDataModule:
@@ -83,7 +163,7 @@ class TtsDataModule:
             description="Options for data, features and dataloaders.")
         group.add_argument("--manifest-dir", type=Path,
                            default=Path("data/tokenized"))
-        group.add_argument("--max-duration", type=int, default=40.0,
+        group.add_argument("--max-duration", type=float, default=40.0,
                            help="Maximum pooled recordings duration (s) in "
                                 "a single batch.")
         group.add_argument("--buffer-size", type=int, default=40000)
@@ -140,6 +220,10 @@ class TtsDataModule:
         if getattr(self.args, "ar_pack", False):
             from .packing import PackedSpeechDataset, SequencePackingSampler
 
+            if self.args.on_the_fly_feats:
+                raise ValueError(
+                    "--ar-pack reads precomputed codec features; it does "
+                    "not support --on-the-fly-feats")
             prepend_bos = bool(getattr(self.args, "prepend_bos", False))
             logging.info(
                 "Sequence packing: rows of %d frames / %d text tokens, "

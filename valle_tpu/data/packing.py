@@ -151,6 +151,11 @@ class SequencePackingSampler:
                 pad_text_to=self.max_text))
         if self.shuffle:
             rng.shuffle(batches)
+        # common per-rank count (see DynamicBucketingSampler: an uneven
+        # split deadlocks multihost SPMD on the last round)
+        if self.world_size > 1:
+            n = (len(batches) // self.world_size) * self.world_size
+            batches = batches[:n]
 
         skip, self._resume_consumed = self._resume_consumed, 0
         self._consumed = 0

@@ -98,6 +98,11 @@ class DynamicBucketingSampler:
         self._resume_consumed = 0
 
         durs = sorted(c.duration for c in self.cuts)
+        if not durs:
+            raise ValueError(
+                "DynamicBucketingSampler got an empty CutSet — check the "
+                "manifest path and the duration filters "
+                "(--filter-min/max-duration)")
         qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
         self.boundaries = [durs[int(q * (len(durs) - 1))] for q in qs]
 
@@ -158,7 +163,13 @@ class DynamicBucketingSampler:
         if self.shuffle:
             rng.shuffle(batches)
         # data-parallel sharding across processes (lhotse-style modulo),
-        # skipping already-consumed batches after a mid-epoch resume
+        # truncated to a common per-rank count: a rank with one extra
+        # batch would call the global SPMD step (a cross-process
+        # collective) once more than its peers and deadlock the job.
+        if self.world_size > 1:
+            n = (len(batches) // self.world_size) * self.world_size
+            batches = batches[:n]
+        # skip already-consumed batches after a mid-epoch resume
         skip, self._resume_consumed = self._resume_consumed, 0
         self._consumed = 0
         for i, b in enumerate(batches):
@@ -175,11 +186,11 @@ class DynamicBucketingSampler:
         ub = max_dur if top else self.boundaries[bucket_idx]
         pad_dur = max(max_dur, ub)
         frames = int(round(pad_dur / self.frame_shift)) + 1
-        # batches above their bucket boundary and the unbounded top bucket
-        # would otherwise produce one shape per batch — snap them to a
-        # coarse 4x grid (each extra shape is a multi-minute compile on
-        # this backend)
-        mult = (self.audio_multiple if not top and max_dur <= ub
+        # the unbounded top bucket would otherwise produce one shape per
+        # batch — snap it to a coarse 4x grid (each extra shape is a
+        # multi-minute compile on this backend); non-top buckets always
+        # pad to their boundary so the fine grid suffices
+        mult = (self.audio_multiple if not top
                 else 4 * self.audio_multiple)
         frames = _round_up(frames, mult)
         toks = max((len(c.tokens) if c.tokens else 0) + 2 for c in cuts)

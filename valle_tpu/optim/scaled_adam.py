@@ -34,12 +34,12 @@ _DEFAULT_STACKED_KEYS = frozenset(
 
 def default_stacked_fn(path) -> bool:
     """True if this leaf's axis 0 is a parameter-stacking dim."""
-    for entry in path:
-        key = getattr(entry, "key", None)
-        if key in _DEFAULT_STACKED_KEYS:
-            return True
-        # non-shared NAR predict heads: nar/predict/w with 3 dims
-    return False
+    keys = [getattr(entry, "key", None) for entry in path]
+    if any(k in _DEFAULT_STACKED_KEYS for k in keys):
+        return True
+    # non-shared NAR predict heads: nar/predict/w is (Q-1, nd, V) stacked
+    # (the AR head ar/predict/w is a single 2-dim matrix — not stacked)
+    return "nar" in keys and "predict" in keys
 
 
 class _UpdOut(NamedTuple):
