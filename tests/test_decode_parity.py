@@ -102,3 +102,29 @@ def test_vallf_greedy_decode_token_parity(prefix_mode):
     gl = int(gen_lens[0])
     assert gl == ref_codes.shape[0], (gl, ref_codes.shape)
     np.testing.assert_array_equal(np.asarray(codes[0, :gl]), ref_codes)
+
+
+def test_greedy_decode_token_parity_add_prenet():
+    """add_prenet checkpoints: the text conv-prenet (BN running stats) and
+    pointwise audio prenets must apply at inference exactly as the
+    reference applies them (they were previously skipped entirely)."""
+    ref, cfg, params, state = build_pair(model_name="valle", prefix_mode=1,
+                                         add_prenet=True)
+    x, x_lens, prompts = _inputs(seed=19)
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref_codes = ref.inference(x, x_lens, prompts,
+                                  enroll_x_lens=x_lens, top_k=1,
+                                  temperature=1.0)
+    ref_codes = ref_codes.numpy()[0]
+
+    codes, gen_lens = valle_inference(
+        params, cfg,
+        jnp.asarray(x.numpy()), jnp.asarray(x_lens.numpy()),
+        jnp.asarray(prompts.numpy()), jnp.asarray([P]),
+        top_k=1, temperature=1.0, rng=jax.random.PRNGKey(0),
+        max_gen_len=16 * S + 8, state=state)
+    gl = int(gen_lens[0])
+    assert gl == ref_codes.shape[0], (gl, ref_codes.shape)
+    np.testing.assert_array_equal(np.asarray(codes[0, :gl]), ref_codes)

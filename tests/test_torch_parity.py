@@ -56,18 +56,18 @@ class _OracleDecoder(torch.nn.Module):
 
 
 def build_pair(model_name="valle", prefix_mode=0, prepend_bos=False,
-               share_embedding=True, norm_first=True):
+               share_embedding=True, norm_first=True, add_prenet=False):
     ref_mod = load_reference_valle()
     torch.manual_seed(0)
     if model_name == "valle":
         ref = ref_mod.VALLE(
-            D, HEADS, LAYERS, norm_first=norm_first, add_prenet=False,
+            D, HEADS, LAYERS, norm_first=norm_first, add_prenet=add_prenet,
             prefix_mode=prefix_mode, share_embedding=share_embedding,
             nar_scale_factor=1.0, prepend_bos=prepend_bos,
             num_quantizers=Q)
     else:
         ref = ref_mod.VALLF(
-            D, HEADS, LAYERS, norm_first=norm_first, add_prenet=False,
+            D, HEADS, LAYERS, norm_first=norm_first, add_prenet=add_prenet,
             decoder_cls=_OracleDecoder, prefix_mode=prefix_mode,
             share_embedding=share_embedding, nar_scale_factor=1.0,
             prepend_bos=prepend_bos, num_quantizers=Q)
@@ -76,7 +76,7 @@ def build_pair(model_name="valle", prefix_mode=0, prepend_bos=False,
         model_name=model_name, d_model=D, nhead=HEADS, num_layers=LAYERS,
         norm_first=norm_first, prefix_mode=prefix_mode,
         share_embedding=share_embedding, prepend_bos=prepend_bos,
-        num_quantizers=Q, max_len=512)
+        num_quantizers=Q, max_len=512, add_prenet=add_prenet)
     params, state = import_torch_state_dict(ref.state_dict(), cfg)
     return ref, cfg, params, state
 

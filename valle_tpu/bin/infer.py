@@ -47,16 +47,16 @@ def get_parser():
                              "| char")
     parser.add_argument("--checkpoint", type=str,
                         default="exp/vallf_nano_full/checkpoint-100000")
-    parser.add_argument("--text-tokens", type=str,
-                        default="data/tokenized/unique_text_tokens."
-                                "k2symbols")
+    parser.add_argument("--text-tokens", type=str, default=None,
+                        help="Symbol table path; defaults to the path "
+                             "stored in the checkpoint, then to "
+                             "data/tokenized/unique_text_tokens.k2symbols")
     parser.add_argument("--encodec-weights", type=str, default=None,
                         help="Path to pretrained EnCodec 24 kHz torch "
                              "weights (or set VALLE_TPU_ENCODEC_WEIGHTS).")
     parser.add_argument("--top-k", type=int, default=-100)
     parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--continual", type=str2bool, default=False)
-    parser.add_argument("--semantic-tokens", type=str, default=None)
     parser.add_argument("--output-dir", type=str, default="infer/demos")
     parser.add_argument("--max-gen-len", type=int, default=1024)
     parser.add_argument("--decode-mode", type=str, default="exact",
@@ -73,38 +73,60 @@ def get_parser():
     return parser
 
 
-def load_model(checkpoint: str, device=None):
+def load_model(checkpoint: str, args=None):
     """Rebuild model + params from a checkpoint path.
 
     Supports our orbax checkpoint dirs and reference .pt files.
+    Hyperparameters stored in the checkpoint take precedence; anything
+    the checkpoint does not record falls back to the CLI model flags
+    (``args``) so bare state-dict .pt files load with the user's
+    --decoder-dim/--prefix-mode/... instead of silent hardcoded defaults.
     Returns (model, params, model_state, text_tokens_path).
     """
     from ..models import ValleConfig, ValleModel
     from ..utils import checkpoint as ckpt_lib
 
+    def fb(ckpt, key, hard):
+        if key in ckpt:
+            return ckpt[key]
+        if args is not None and hasattr(args, key):
+            return getattr(args, key)
+        return hard
+
     p = Path(checkpoint)
     if p.is_file() and p.suffix in (".pt", ".pth", ".bin"):
-        params, state, ckpt = ckpt_lib.load_torch_checkpoint(str(p))
-        from ..models.valle import ValleConfig as VC
+        name = None
+        import torch
 
-        name = str(ckpt.get("model_name", "VALL-E")).lower()
-        cfg = VC(
+        raw = torch.load(str(p), map_location="cpu", weights_only=False)
+        ckpt = raw if isinstance(raw, dict) else {}
+        name = str(fb(ckpt, "model_name", "VALL-E")).lower()
+        cfg = ValleConfig(
             model_name="vallf" if name in ("vall-f", "vallf") else "valle",
-            d_model=ckpt.get("decoder_dim", 1024),
-            nhead=ckpt.get("nhead", 16),
-            num_layers=ckpt.get("num_decoder_layers", 12),
-            norm_first=ckpt.get("norm_first", True),
-            add_prenet=ckpt.get("add_prenet", False),
-            prefix_mode=ckpt.get("prefix_mode", 0),
-            share_embedding=ckpt.get("share_embedding", True),
-            nar_scale_factor=ckpt.get("scale_factor", 1.0),
-            prepend_bos=ckpt.get("prepend_bos", False),
-            num_quantizers=ckpt.get("num_quantizers", 8),
+            d_model=fb(ckpt, "decoder_dim", 1024),
+            nhead=fb(ckpt, "nhead", 16),
+            num_layers=fb(ckpt, "num_decoder_layers", 12),
+            norm_first=fb(ckpt, "norm_first", True),
+            add_prenet=fb(ckpt, "add_prenet", False),
+            prefix_mode=fb(ckpt, "prefix_mode", 0),
+            share_embedding=fb(ckpt, "share_embedding", True),
+            nar_scale_factor=fb(ckpt, "scale_factor", 1.0),
+            prepend_bos=fb(ckpt, "prepend_bos", False),
+            num_quantizers=fb(ckpt, "num_quantizers", 8),
         )
+        params, state, ckpt = ckpt_lib.load_torch_checkpoint(str(p),
+                                                             cfg=cfg)
         return ValleModel(cfg), params, state, ckpt.get("text_tokens")
     items, meta = ckpt_lib.load_checkpoint(str(p))
     run_params = (meta or {}).get("run_params") or {}
     cfg_dict = run_params.get("model_config") or {}
+    if not cfg_dict and args is not None:
+        from ..models import get_model
+        from ..utils import AttributeDict
+
+        model = get_model(AttributeDict(vars(args)))
+        return (model, items["params"], items.get("state", {}),
+                run_params.get("text_tokens"))
     cfg = ValleConfig(**cfg_dict)
     return (ValleModel(cfg), items["params"], items.get("state", {}),
             run_params.get("text_tokens"))
@@ -128,9 +150,11 @@ def main():
 
     text_tokenizer = TextTokenizer(language=args.language,
                                    backend=args.text_extractor)
-    model, params, model_state, ckpt_tokens = load_model(args.checkpoint)
+    model, params, model_state, ckpt_tokens = load_model(args.checkpoint,
+                                                         args)
     text_collater = get_text_token_collater(
-        args.text_tokens or ckpt_tokens)
+        args.text_tokens or ckpt_tokens
+        or "data/tokenized/unique_text_tokens.k2symbols")
     audio_tokenizer = AudioTokenizer(weights_path=args.encodec_weights)
     if not audio_tokenizer.pretrained:
         logging.warning(
@@ -163,8 +187,11 @@ def main():
                 full_tokens = tokenize_text(
                     text_tokenizer, f"{prompt_text} {text}".strip())
                 text_ids, text_lens = text_collater([full_tokens])
-                enroll_tokens = tokenize_text(text_tokenizer,
-                                              prompt_text.strip())
+                enroll_tokens = tokenize_text(
+                    text_tokenizer, prompt_text.strip()) \
+                    if prompt_text.strip() else []
+                # +2 includes the boundary tokens; 2 is the identity under
+                # trim_enrolled_text for an empty prompt
                 enroll_x_lens = np.array([len(enroll_tokens) + 2], np.int32)
                 prompt_codes = tokenize_audio(audio_tokenizer, prompt_audio)
                 codes, out_lens = model.inference(
@@ -175,8 +202,11 @@ def main():
                     top_k=args.top_k, temperature=args.temperature,
                     rng=jax.random.fold_in(rng, k),
                     max_gen_len=args.max_gen_len,
-                    decode_mode=args.decode_mode)
+                    decode_mode=args.decode_mode, state=model_state)
                 gl = int(out_lens[0])
+                if gl == 0:
+                    logging.warning(f"line {k}: empty generation; skipped")
+                    continue
                 wav = audio_tokenizer.decode(np.asarray(codes[:, :gl]))[0]
                 Path(audio_path).parent.mkdir(parents=True, exist_ok=True)
                 native.write_wav(audio_path, wav,
@@ -195,8 +225,8 @@ def main():
         text_ids, text_lens = text_collater([full_tokens])
         enroll_tokens = tokenize_text(text_tokenizer, text_prompts) \
             if text_prompts else []
-        enroll_x_lens = np.array(
-            [len(enroll_tokens) + 2 if enroll_tokens else 0], np.int32)
+        # 2 = identity under trim_enrolled_text for an empty prompt
+        enroll_x_lens = np.array([len(enroll_tokens) + 2], np.int32)
 
         P = audio_prompts.shape[1]
         prompt_codes = (audio_prompts if P > 0 else
@@ -207,7 +237,8 @@ def main():
             # resynthesize quantizers 1..7 of the prompt itself
             codes, out_lens = model.continual(
                 params, jnp.asarray(text_ids), jnp.asarray(text_lens),
-                jnp.asarray(prompt_codes), jnp.asarray([P]))
+                jnp.asarray(prompt_codes), jnp.asarray([P]),
+                state=model_state)
         else:
             codes, out_lens = model.inference(
                 params, jnp.asarray(text_ids), jnp.asarray(text_lens),
@@ -216,7 +247,7 @@ def main():
                 top_k=args.top_k, temperature=args.temperature,
                 rng=jax.random.fold_in(rng, n),
                 max_gen_len=args.max_gen_len,
-                decode_mode=args.decode_mode)
+                decode_mode=args.decode_mode, state=model_state)
         gl = int(out_lens[0])
         if gl == 0:
             logging.warning(f"utterance {n}: empty generation")

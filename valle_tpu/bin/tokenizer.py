@@ -86,15 +86,20 @@ def main():
                 if not batch:
                     return
                 waves = []
-                srs = set()
+                sr = None
                 for c in batch:
                     from .. import native
 
-                    wav, sr = native.read_wav(c.recording.path)
-                    waves.append(native.to_mono(wav))
-                    srs.add(sr)
-                assert len(srs) == 1, "mixed sample rates in batch"
-                sr = srs.pop()
+                    wav, wsr = native.read_wav(c.recording.path)
+                    mono = native.to_mono(wav)
+                    if sr is None:
+                        sr = wsr
+                    elif wsr != sr:
+                        # mixed-sample-rate corpora: normalize to the
+                        # batch's first rate here (the extractor then
+                        # resamples the whole batch to its target rate)
+                        mono = native.resample(mono, wsr, sr)
+                    waves.append(mono)
                 if hasattr(extractor, "extract_batch"):
                     feats = extractor.extract_batch(waves, sr)
                 else:

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..modules import embedding as emb
+from ..modules import prenet as pre
 from ..modules import transformer as tfm
 from ..ops import masks as M
 from ..ops.sampling import top_k_top_p_filtering
@@ -42,19 +43,33 @@ from .valle import ValleConfig, _pe_table, nar_predict_weights
 # ---------------------------------------------------------------------------
 
 
-def _frontends(params, cfg, text, prompt_q0, dtype):
-    """Embed text and audio prefix deterministically (inference)."""
+def _frontends(params, cfg, text, prompt_q0, dtype, state=None):
+    """Embed text and audio prefix deterministically (inference).
+
+    With ``cfg.add_prenet`` the text conv-prenet (using the trained
+    BatchNorm running stats from ``state``) and the pointwise audio
+    prenet apply before positional encoding, exactly as in training
+    (reference applies both in its inference path too).
+    """
     B, S = text.shape
     P = prompt_q0.shape[1]
     pe_d = _pe_table(cfg, cfg.d_model)
 
     x = emb.token_embedding(params["ar"]["text_emb"], text, dtype=dtype)
+    if cfg.add_prenet:
+        x, _ = pre.text_prenet(
+            params["ar"]["text_prenet"],
+            (state or {}).get("ar", {}).get("text_prenet"), x,
+            training=False)
     x = emb.apply_sine_positional(params["ar"]["text_pe"], x, pe_d)
 
     if cfg.prepend_bos:
         prompt_q0 = jnp.pad(prompt_q0, ((0, 0), (1, 0)),
                             constant_values=cfg.bos_id)
     y = emb.token_embedding(params["ar"]["audio_emb"], prompt_q0, dtype=dtype)
+    if cfg.add_prenet:
+        y = pre.audio_prenet(params["ar"]["audio_prenet"], y,
+                             training=False)
     y = emb.apply_sine_positional(params["ar"]["audio_pe"], y, pe_d)
     return x, y
 
@@ -108,6 +123,7 @@ def valle_ar_decode(
     decode_kernel_mode: str = "grouped",
     unroll_layers: bool = False,
     cache_segment: int = 0,
+    state=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched KV-cache AR decode of quantizer-0 codes.
 
@@ -150,7 +166,7 @@ def valle_ar_decode(
                    else BLOCK_K)
             cache_len = ((cache_len + blk - 1) // blk) * blk
 
-    x, y = _frontends(params, cfg, text, prompt_q0, dtype)
+    x, y = _frontends(params, cfg, text, prompt_q0, dtype, state)
     xy = jnp.concatenate([x, y], axis=1)           # (B, S0, D)
     S0 = S + bos + P
 
@@ -229,6 +245,9 @@ def valle_ar_decode(
 
         # embed the accepted token at audio position p_lens + g
         e = jnp.take(audio_emb_w, tok, axis=0).astype(dtype)
+        if cfg.add_prenet:  # pointwise MLP: valid per decode step
+            e = pre.audio_prenet(params["ar"]["audio_prenet"], e,
+                                 training=False)
         if aligned_prompts:
             pe = jax.lax.dynamic_slice_in_dim(
                 pe_d, p_lens[0] + g, 1, axis=0).astype(dtype)[0]
@@ -320,6 +339,7 @@ def valle_nar_decode(
     gen_lens: jnp.ndarray,
     *,
     compute_dtype=jnp.float32,
+    state=None,
 ) -> jnp.ndarray:
     """7 sequential NAR argmax passes. Returns codes (B, G, Q).
 
@@ -342,6 +362,11 @@ def valle_nar_decode(
     embs_w = params["nar"]["audio_embs"]["weight"]
 
     x = emb.token_embedding(params["nar"]["text_emb"], text, dtype=dtype)
+    if cfg.add_prenet:
+        x, _ = pre.text_prenet(
+            params["nar"]["text_prenet"],
+            (state or {}).get("nar", {}).get("text_prenet"), x,
+            training=False)
     x = emb.apply_sine_positional(params["nar"]["text_pe"], x, pe_n)
 
     prompt_valid = jnp.arange(P)[None, :] < p_lens[:, None]
@@ -391,8 +416,16 @@ def valle_nar_decode(
     def one_pass(i, carry):
         y_emb_p_c, y_emb_g_c, codes_out = carry
         cond = jnp.take(stage_w, i, axis=0)[None, :]
+        py_p, py_g = y_emb_p_c, y_emb_g_c
+        if cfg.add_prenet:
+            # reference applies the NAR audio prenet to the accumulated
+            # embedding every pass before positions (valle.py:1117-1121)
+            py_p = pre.audio_prenet(params["nar"]["audio_prenet"], py_p,
+                                    training=False)
+            py_g = pre.audio_prenet(params["nar"]["audio_prenet"], py_g,
+                                    training=False)
         if is_vallf:
-            seq = jnp.concatenate([y_emb_p_c + pe_p, y_emb_g_c + pe_g],
+            seq = jnp.concatenate([py_p + pe_p, py_g + pe_g],
                                   axis=1)
             dec = tfm.decoder_stack_apply(
                 params["nar"]["decoder"], seq, x, bias, cross_bias, cond,
@@ -401,7 +434,7 @@ def valle_nar_decode(
                 deterministic=True, dtype=dtype)
         else:
             seq = jnp.concatenate(
-                [x, y_emb_p_c + pe_p, y_emb_g_c + pe_g], axis=1)
+                [x, py_p + pe_p, py_g + pe_g], axis=1)
             dec = tfm.encoder_stack_apply(
                 params["nar"]["decoder"], seq, bias, cond,
                 nhead=cfg.nar_nhead, norm_first=cfg.norm_first,
@@ -453,6 +486,7 @@ def vallf_ar_decode(
     max_gen_len: int = 1024,
     compute_dtype=jnp.float32,
     force_full_length: bool = False,
+    state=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """VALL-F KV-cache AR decode: causal self-attention over audio with
     cross-attention to the encoded text memory (reference VALLF.inference,
@@ -467,7 +501,7 @@ def vallf_ar_decode(
     p_lens = prompt_lens.astype(jnp.int32) + bos
     cache_len = bos + P + max_gen_len + 1
 
-    x, y = _frontends(params, cfg, text, prompt_q0, dtype)
+    x, y = _frontends(params, cfg, text, prompt_q0, dtype, state)
     cross_bias = M.key_padding_bias(x_lens, S)
     Ty = bos + P
     self_bias = (M.causal_bias(Ty) + M.key_padding_bias(p_lens, Ty))
@@ -508,6 +542,9 @@ def vallf_ar_decode(
 
         audio_pos = p_lens + g
         e = jnp.take(audio_emb_w, tok, axis=0).astype(dtype)
+        if cfg.add_prenet:
+            e = pre.audio_prenet(params["ar"]["audio_prenet"], e,
+                                 training=False)
         pe = jnp.take(pe_d, audio_pos, axis=0).astype(dtype)
         xstep = (e + pe)[:, None, :]
         write_pos = p_lens + g
@@ -581,6 +618,7 @@ def valle_inference(
     max_gen_len: int = 1024,
     compute_dtype=jnp.float32,
     decode_mode: str = "exact",
+    state=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full zero-shot synthesis: AR decode then NAR refinement.
 
@@ -635,7 +673,7 @@ def valle_inference(
     gen_q0, gen_lens = ar_decode(
         params, cfg, text, text_lens, prompt_codes[..., 0], prompt_lens,
         rng, top_k=top_k, temperature=temperature, max_gen_len=max_gen_len,
-        compute_dtype=compute_dtype, **ar_kw)
+        compute_dtype=compute_dtype, state=state, **ar_kw)
     if cfg.num_quantizers == 1:
         return gen_q0[..., None], gen_lens
 
@@ -646,7 +684,7 @@ def valle_inference(
 
     codes = valle_nar_decode(
         params, cfg, nar_text, nar_text_lens, prompt_codes, prompt_lens,
-        gen_q0, gen_lens, compute_dtype=compute_dtype)
+        gen_q0, gen_lens, compute_dtype=compute_dtype, state=state)
     return codes, gen_lens
 
 
@@ -660,6 +698,7 @@ def valle_continual(
     y_lens: jnp.ndarray,
     *,
     compute_dtype=jnp.float32,
+    state=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Codec-resynthesis diagnostic (reference valle.py:1139-1238).
 
@@ -691,5 +730,5 @@ def valle_continual(
         params, cfg, text, text_lens,
         prompt_codes[:, : cfg.max_prefix_len],
         jnp.broadcast_to(prefix_len, (B,)),
-        gen_q0_shift, gen_lens, compute_dtype=compute_dtype)
+        gen_q0_shift, gen_lens, compute_dtype=compute_dtype, state=state)
     return codes, gen_lens

@@ -49,7 +49,7 @@ class Synthesizer:
     """
 
     def __init__(self, model, params, text_tokenizer, text_collater,
-                 audio_tokenizer, *, top_k: int = -100,
+                 audio_tokenizer, *, model_state=None, top_k: int = -100,
                  temperature: float = 1.0, max_gen_len: int = 1024,
                  compute_dtype=None, seed: int = 0,
                  decode_mode: str = "exact", mesh=None,
@@ -75,6 +75,8 @@ class Synthesizer:
 
             params = jax.device_put(params, param_shardings(params, mesh))
         self.params = params
+        # prenet BatchNorm running stats for add_prenet checkpoints
+        self.model_state = model_state
         self.text_tokenizer = text_tokenizer
         self.text_collater = text_collater
         self.audio_tokenizer = audio_tokenizer
@@ -103,12 +105,13 @@ class Synthesizer:
         from .data import AudioTokenizer, TextTokenizer
         from .data.collation import get_text_token_collater
 
-        model, params, _, ckpt_tokens = load_model(checkpoint)
+        model, params, state, ckpt_tokens = load_model(checkpoint)
         return cls(
             model, params,
             TextTokenizer(backend=text_backend),
             get_text_token_collater(text_tokens or ckpt_tokens),
-            AudioTokenizer(weights_path=encodec_weights), **kw)
+            AudioTokenizer(weights_path=encodec_weights),
+            model_state=state, **kw)
 
     # -- preprocessing ------------------------------------------------------
     def _prepare(self, reqs: Sequence[SynthesisRequest]):
@@ -200,7 +203,7 @@ class Synthesizer:
             top_k=self.top_k, temperature=self.temperature,
             rng=step_rng, max_gen_len=gen_budget,
             compute_dtype=self.compute_dtype,
-            decode_mode=self.decode_mode)
+            decode_mode=self.decode_mode, state=self.model_state)
         # decode the PADDED batch on-device (same static shape as the
         # decode program), then trim the padding rows per request
         wavs = self.audio_tokenizer.decode(np.asarray(codes),

@@ -176,7 +176,7 @@ def import_torch_state_dict(sd: Dict[str, Any], cfg) -> tuple:
             state[branch]["text_prenet"] = tps
             ap = {}
             for i, li in enumerate((0, 3, 6)):
-                ap[f"lin{i}" if i < 2 else "lin2"] = {
+                ap[f"lin{i}"] = {
                     "w": linear_w(f"{branch}_audio_prenet.{li}.weight"),
                     "b": get(f"{branch}_audio_prenet.{li}.bias")}
             params[branch]["audio_prenet"] = ap
