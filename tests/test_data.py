@@ -330,3 +330,21 @@ def test_dataloader_state_counts_delivered_not_prefetched(tmp_path):
     rest = sum(1 for _ in sampler2)
     assert rest == n_total - 3
     it.close()
+
+
+def test_prompted_features_static_shapes_through_dataset(tmp_path):
+    """PromptedFeatures batches must come out of the dataset at STATIC
+    shapes: prompts padded to one fixed grid (240) and features to the
+    sampler's pad_audio_to — per-batch dynamic shapes recompile the
+    jitted train step every batch."""
+    cs = _make_cutset(tmp_path, n=12)
+    collater = TextTokenCollater(sorted({t for c in cs for t in c.tokens}))
+    strat = PromptedPrecomputedFeatures("libritts", cs)
+    ds = SpeechSynthesisDataset(collater, feature_input_strategy=strat)
+    cuts = list(cs)
+    b1 = ds.__getitem__(cuts[:4], pad_audio_to=256, pad_text_to=16)
+    b2 = ds.__getitem__(cuts[4:8], pad_audio_to=256, pad_text_to=16)
+    p1, f1 = b1["audio_features"].data
+    p2, f2 = b2["audio_features"].data
+    assert p1.shape[1] == p2.shape[1] == 240
+    assert f1.shape[1] == f2.shape[1] == 256

@@ -278,6 +278,10 @@ def compute_validation_loss(params, model, model_params, model_state,
                 tot[k] += float(metrics[k]) * frames
     tot.reduce()
     loss_value = tot["loss"] / max(tot["frames"], 1)
+    if tot["frames"] == 0:
+        logging.warning("validation loader produced no batches; "
+                        "skipping best-valid tracking")
+        return tot
     if loss_value < params.best_valid_loss:
         params.best_valid_epoch = params.cur_epoch
         params.best_valid_loss = loss_value

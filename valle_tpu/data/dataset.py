@@ -52,7 +52,19 @@ class SpeechSynthesisDataset:
             audio_features, audio_features_lens = features, None
 
         if isinstance(audio_features, PromptedFeatures):
-            pass  # (prompts, features) pairs flow through unchanged
+            # static shapes for the jitted step: pad the prompts to the
+            # 3 s-cap grid (mini_frames varies per batch otherwise) and
+            # the features to the sampler's bucket shape
+            prompts, feats = audio_features.data
+            PP = 240  # >= 225 (3 s at 75 Hz); one static prompt shape
+            if prompts.shape[1] < PP:
+                prompts = np.pad(
+                    prompts, ((0, 0), (0, PP - prompts.shape[1]), (0, 0)))
+            if pad_audio_to and feats.shape[1] < pad_audio_to:
+                feats = np.pad(
+                    feats,
+                    ((0, 0), (0, pad_audio_to - feats.shape[1]), (0, 0)))
+            audio_features = PromptedFeatures(prompts, feats)
         else:
             for t in self.feature_transforms:
                 try:  # length-aware transforms mask only valid frames

@@ -105,8 +105,14 @@ class BigVGANFbank:
         return self.config.num_mel_bins
 
     def extract(self, samples: np.ndarray, sampling_rate: int) -> np.ndarray:
-        assert sampling_rate == self.sampling_rate
         y = np.asarray(samples, np.float32).reshape(-1)
+        if sampling_rate != self.sampling_rate:
+            # recipes keep corpora at native rates (22.05 k / 16 k);
+            # resample like the EnCodec extractor does instead of dying
+            from .. import native
+
+            y = native.resample(y, sampling_rate, self.sampling_rate)
+            sampling_rate = self.sampling_rate
         expected = compute_num_frames(
             round(len(y) / sampling_rate, ndigits=12), self.frame_shift,
             sampling_rate)

@@ -20,10 +20,8 @@ import numpy as np
 from .manifests import Cut, CutSet
 
 
-def collate_features(cuts, pad_value: float = 0.0,
-                     pad_to: int = 0) -> Tuple[np.ndarray, np.ndarray]:
-    """Load + pad features of a batch of cuts -> ((B, T, F), lens)."""
-    feats = [c.load_features() for c in cuts]
+def _pad_feature_list(feats, pad_value: float = 0.0,
+                      pad_to: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     lens = np.array([f.shape[0] for f in feats], dtype=np.int32)
     T = max(int(lens.max()), pad_to)
     F = feats[0].shape[1]
@@ -31,6 +29,13 @@ def collate_features(cuts, pad_value: float = 0.0,
     for i, f in enumerate(feats):
         out[i, : f.shape[0]] = f
     return out, lens
+
+
+def collate_features(cuts, pad_value: float = 0.0,
+                     pad_to: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Load + pad features of a batch of cuts -> ((B, T, F), lens)."""
+    return _pad_feature_list([c.load_features() for c in cuts],
+                             pad_value, pad_to)
 
 
 class PrecomputedFeatures:
@@ -49,21 +54,11 @@ class OnTheFlyFeatures:
         self.extractor = extractor
 
     def __call__(self, cuts) -> Tuple[np.ndarray, np.ndarray]:
-        sr = getattr(self.extractor, "sampling_rate", 24000)
-        feats = []
-        for c in cuts:
-            wav = c.load_audio()
-            assert c.recording.sample_rate == sr, (
-                f"cut {c.id}: recording at {c.recording.sample_rate} Hz, "
-                f"extractor expects {sr} (resample during manifest prep)")
-            feats.append(np.asarray(self.extractor.extract(wav, sr)))
-        lens = np.array([f.shape[0] for f in feats], dtype=np.int32)
-        T = int(lens.max())
-        F = feats[0].shape[1]
-        out = np.zeros((len(feats), T, F), dtype=feats[0].dtype)
-        for i, f in enumerate(feats):
-            out[i, : f.shape[0]] = f
-        return out, lens
+        # the extractor resamples internally when the recording's native
+        # rate differs from its target
+        feats = [np.asarray(self.extractor.extract(
+            c.load_audio(), c.recording.sample_rate)) for c in cuts]
+        return _pad_feature_list(feats)
 
 
 class PromptedFeatures:

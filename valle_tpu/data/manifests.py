@@ -22,6 +22,7 @@ import json
 import random
 from dataclasses import asdict, dataclass, field
 from pathlib import Path
+from functools import lru_cache
 from typing import Callable, Dict, Iterable, Iterator, List, Optional
 
 import numpy as np
@@ -36,7 +37,7 @@ class FeatureRef:
     frame_shift: float
 
     def load(self) -> np.ndarray:
-        return Hdf5FeatureStore(self.storage_path).read(self.storage_key)
+        return _cached_store(self.storage_path).read(self.storage_key)
 
 
 @dataclass
@@ -184,6 +185,16 @@ class CutSet:
         return "\n".join(lines)
 
 
+@lru_cache(maxsize=64)
+def _cached_store(path: str) -> "Hdf5FeatureStore":
+    """One open reader per storage path: FeatureRef.load runs in the
+    data-loading hot path (2B reads/batch for the prompted strategy) and
+    re-opening the HDF5 superblock per cut is pure overhead. h5py
+    serializes concurrent access internally, so sharing the handle across
+    loader threads is safe."""
+    return Hdf5FeatureStore(path)
+
+
 class Hdf5FeatureStore:
     """(key -> 2D int/float array) storage on HDF5, append-friendly."""
 
@@ -207,14 +218,19 @@ class Hdf5FeatureStore:
             self._handle = None
 
     class Writer:
-        def __init__(self, path):
+        def __init__(self, path, mode: str = "a"):
             import h5py
 
             Path(path).parent.mkdir(parents=True, exist_ok=True)
             self.path = str(path)
-            self.f = h5py.File(self.path, "w")
+            # "a" honors the class's append-friendly contract (a resumed
+            # extraction run must not truncate earlier partitions);
+            # existing keys are replaced on write
+            self.f = h5py.File(self.path, mode)
 
         def write(self, key: str, array: np.ndarray) -> None:
+            if key in self.f:
+                del self.f[key]
             self.f.create_dataset(key, data=array)
 
         def close(self):

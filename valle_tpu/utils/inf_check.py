@@ -29,9 +29,12 @@ def nonfinite_leaf_paths(tree) -> List[str]:
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     if not flat:
         return []
+    # check in each leaf's own dtype: downcasting f64 to f32 would turn
+    # finite values beyond ~3.4e38 into spurious infs (ints are finite)
     finite = jax.jit(lambda leaves: [
-        jnp.all(jnp.isfinite(x.astype(jnp.float32))) for x in leaves])(
-            [leaf for _, leaf in flat])
+        (jnp.all(jnp.isfinite(x))
+         if jnp.issubdtype(x.dtype, jnp.floating) else jnp.bool_(True))
+        for x in leaves])([leaf for _, leaf in flat])
     return [jax.tree_util.keystr(path)
             for (path, _), ok in zip(flat, finite) if not bool(ok)]
 

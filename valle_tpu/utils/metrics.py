@@ -43,9 +43,13 @@ class MetricsTracker(defaultdict):
         return ans
 
     def norm_items(self):
-        """Yield (key, normalized_value): losses/metrics divided by frames."""
-        num_frames = self["frames"] if "frames" in self else 1
-        num_utterances = self["utterances"] if "utterances" in self else 1
+        """Yield (key, normalized_value): losses/metrics divided by frames.
+
+        Guards frames/utterances == 0 (e.g. an empty validation loader)
+        instead of dividing by zero."""
+        num_frames = max(self["frames"], 1) if "frames" in self else 1
+        num_utterances = (max(self["utterances"], 1)
+                          if "utterances" in self else 1)
         for k, v in self.items():
             if k in ("frames", "utterances"):
                 continue
@@ -70,6 +74,9 @@ class MetricsTracker(defaultdict):
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
+            # NOTE: every process must carry the SAME key set (the train
+            # loop populates keys deterministically); sorted order makes
+            # the allgathered vectors align by construction
             keys = sorted(self.keys())
             vals = jnp.asarray([float(self[k]) for k in keys])
             summed = multihost_utils.process_allgather(vals).sum(axis=0)
