@@ -88,7 +88,9 @@ def sconv1d(p, x: jnp.ndarray, *, stride: int = 1, dilation: int = 1,
 
 def init_convtr1d(rng, cin: int, cout: int, k: int):
     wkey, bkey = jax.random.split(rng)
-    fan_in = cin * k  # torch ConvTranspose1d fan-in
+    # torch ConvTranspose1d weight is (in, out, k): _calculate_fan_in uses
+    # dim 1 => fan_in = OUT channels * k (not in*k)
+    fan_in = cout * k
     bound = 1.0 / math.sqrt(fan_in)
     return {
         # torch ConvTranspose1d weight is (cin, cout, k); we keep (k, cout, cin)

@@ -120,8 +120,11 @@ def init_transformer_tts(rng, cfg: TransformerTtsConfig):
                     else tfm.init_linear)
         params["decoder_prenet"] = init_lin(ks[2], cfg.num_mel_bins, d)
 
-    params["encoder_pe"] = emb.init_sine_positional(alpha_trainable=True)
-    params["decoder_pe"] = emb.init_sine_positional(alpha_trainable=True)
+    # reference SinePositionalEmbedding(..., scale=False): alpha is fixed
+    # at 1.0 and NOT trainable (transformer.py:108-111); a trainable alpha
+    # here would also desync from the KV-cache decode path
+    params["encoder_pe"] = emb.init_sine_positional(alpha_trainable=False)
+    params["decoder_pe"] = emb.init_sine_positional(alpha_trainable=False)
 
     enc_layers = [
         _init_layer(k, cfg, decoder=False)
@@ -170,7 +173,7 @@ def _activation(cfg, x, rng=None, training=False):
 
 def _layer_apply(cfg, p, x, bias, mem=None, cross_bias=None, *, rng=None,
                  training=False, dtype=None):
-    rs = (jax.random.split(rng, 6) if rng is not None else [None] * 6)
+    rs = (jax.random.split(rng, 10) if rng is not None else [None] * 10)
     drop = cfg.dropout if training else 0.0
     deterministic = not training
 
@@ -179,32 +182,35 @@ def _layer_apply(cfg, p, x, bias, mem=None, cross_bias=None, *, rng=None,
     sa = tfm.mha_self(p["self_attn"], h, bias, cfg.nhead,
                       dropout_rate=drop, rng=rs[1],
                       deterministic=deterministic, dtype=dtype)
-    sa = emb.dropout(sa, drop, rs[1], deterministic)
+    sa = emb.dropout(sa, drop, rs[2], deterministic)
     x = x + sa if cfg.norm_first else _apply_norm(
         p["norm1"], x + sa, rng=rs[0], training=training)
 
     if mem is not None:
-        h = _apply_norm(p["norm2"], x, rng=rs[2], training=training) \
+        h = _apply_norm(p["norm2"], x, rng=rs[3], training=training) \
             if cfg.norm_first else x
         mk, mv = tfm.mha_self_kv(p["cross_attn"], mem, cfg.nhead, dtype=dtype)
         ca = tfm.mha_cross(p["cross_attn"], h, mk, mv, cross_bias, cfg.nhead,
-                           dropout_rate=drop, rng=rs[3],
+                           dropout_rate=drop, rng=rs[4],
                            deterministic=deterministic, dtype=dtype)
-        ca = emb.dropout(ca, drop, rs[3], deterministic)
+        ca = emb.dropout(ca, drop, rs[5], deterministic)
         x = x + ca if cfg.norm_first else _apply_norm(
-            p["norm2"], x + ca, rng=rs[2], training=training)
+            p["norm2"], x + ca, rng=rs[3], training=training)
         ffn_norm = p["norm3"]
     else:
         ffn_norm = p["norm2"]
 
-    h = _apply_norm(ffn_norm, x, rng=rs[4], training=training) \
+    h = _apply_norm(ffn_norm, x, rng=rs[6], training=training) \
         if cfg.norm_first else x
     h = tfm.linear(p["ffn"]["lin1"], h, dtype)
-    h = _activation(cfg, h, rs[5], training)
-    h = emb.dropout(h, drop, rs[5], deterministic)
+    h = _activation(cfg, h, rs[7], training)
+    h = emb.dropout(h, drop, rs[8], deterministic)
     h = tfm.linear(p["ffn"]["lin2"], h, dtype)
+    # reference applies a residual dropout after lin2 (dropout2/dropout3,
+    # reference transformer.py:332-334)
+    h = emb.dropout(h, drop, rs[9], deterministic)
     x = x + h if cfg.norm_first else _apply_norm(
-        ffn_norm, x + h, rng=rs[4], training=training)
+        ffn_norm, x + h, rng=rs[6], training=training)
     return x
 
 
@@ -421,8 +427,10 @@ def transformer_tts_inference(
 
         nxt = tfm.linear(params["predict"], h)[:, 0].astype(jnp.float32)
         stop_logit = tfm.linear(params["stop"], h)[:, 0, 0]
-        stop = jnp.all(stop_logit > 0) | (t > x_lens.max() * 10)
-        newly_done = jnp.broadcast_to(stop, done.shape) & ~done
+        # per-sample stop (the previous jnp.all collapsed the mask to a
+        # scalar, so no lane could ever finish before the others)
+        stop = (stop_logit > 0) | (t > x_lens * 10)
+        newly_done = stop & ~done
         lens = jnp.where(newly_done, t, lens)
         done = done | stop
         mel = mel.at[:, t].set(jnp.where(done[:, None], 0.0, nxt))

@@ -336,7 +336,7 @@ def valle_forward(
     B, S = text.shape
     T = y.shape[1]
 
-    y_mask = M_pad = jnp.arange(T)[None, :] >= y_lens[:, None]  # (B, T)
+    y_mask = jnp.arange(T)[None, :] >= y_lens[:, None]  # (B, T)
     y_mask_int = y_mask.astype(jnp.int32)
     codes = y * (1 - y_mask_int[..., None])  # zero padded frames
 
@@ -367,8 +367,7 @@ def valle_forward(
             remat=training)
         logits = xy_dec[:, S:] @ params["ar"]["predict"]["w"].astype(
             xy_dec.dtype)  # (B, y_len_ar, V+1)
-        if cfg.prepend_bos:
-            pass  # targets already include all y_len_ar positions
+        # (prepend_bos: targets already include all y_len_ar positions)
         ar_loss = _cross_entropy_sum(logits, ar_targets)
         total_loss = total_loss + ar_loss
         metrics["ArTop10Accuracy"] = top10_accuracy(
@@ -548,11 +547,13 @@ def _nar_branch(params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
 
     cond = jnp.take(params["nar"]["stage_embs"]["weight"],
                     nar_stage - 1, axis=0)[None, :]  # (1, nd)
+    stack_rng = (None if rngs[5] is None
+                 else jax.random.fold_in(rngs[5], 1 << 20))
     xy_dec = tfm.encoder_stack_apply(
         params["nar"]["decoder"], xy, bias, cond,
         nhead=cfg.nar_nhead, norm_first=cfg.norm_first,
         activation=cfg.activation, dropout_rate=cfg.dropout,
-        rng=rngs[5], deterministic=deterministic, dtype=compute_dtype,
+        rng=stack_rng, deterministic=deterministic, dtype=compute_dtype,
         remat=training)
     y_dec = xy_dec[:, -T:]  # the y region is always the trailing T positions
 
@@ -857,11 +858,13 @@ def _nar_branch_vallf(params, cfg, xn, x_lens, nar_y, codes, y_lens,
 
     cond = jnp.take(params["nar"]["stage_embs"]["weight"],
                     nar_stage - 1, axis=0)[None, :]
+    stack_rng = (None if rngs[5] is None
+                 else jax.random.fold_in(rngs[5], 1 << 20))
     y_dec = tfm.decoder_stack_apply(
         params["nar"]["decoder"], seq, xn, self_bias, cross_bias, cond,
         nhead=cfg.nar_nhead, norm_first=cfg.norm_first,
         activation=cfg.activation, dropout_rate=cfg.dropout,
-        rng=rngs[5], deterministic=deterministic, dtype=compute_dtype,
+        rng=stack_rng, deterministic=deterministic, dtype=compute_dtype,
         remat=training)
     y_dec = y_dec[:, -T:]
     W = nar_predict_weights(params, cfg)

@@ -140,15 +140,18 @@ def activation_balancer(
             min_prob, 0.5 ** (1.0 + step.astype(jnp.float32) / 4000.0))
     gate = (jax.random.uniform(rng, ()) < prob).astype(jnp.float32)
     xd = jax.lax.stop_gradient(x)
+    # reference divides the gain by the LIVE application probability
+    # (scaling.py:730-751), not by its floor — with the step schedule the
+    # early prob is 0.5 and a /min_prob divisor would over-scale the edit
     if min_positive != 0.0 or max_positive != 1.0:
         sign_factor = _compute_sign_factor(
             xd, channel_dim, min_positive, max_positive,
-            gain_factor=sign_gain_factor / min_prob, max_factor=max_factor)
+            gain_factor=sign_gain_factor / prob, max_factor=max_factor)
     else:
         sign_factor = None
     scale_factor = _compute_scale_factor(
         xd, channel_dim, min_abs=min_abs, max_abs=max_abs,
-        gain_factor=scale_gain_factor / min_prob, max_factor=max_factor)
+        gain_factor=scale_gain_factor / prob, max_factor=max_factor)
     return _balancer_core(x, scale_factor, sign_factor, gate, channel_dim)
 
 
