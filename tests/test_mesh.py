@@ -29,7 +29,10 @@ def test_param_shardings_rules():
     sh = param_shardings(params, mesh)
 
     attn = sh["ar"]["decoder"]["layers"]["self_attn"]
-    assert attn["in_w"].spec == P(None, None, "model")    # column parallel
+    # the packed (d, 3d) QKV projection is replicated: a 'model' split
+    # crosses the Q/K/V block boundaries and would force per-layer
+    # resharding collectives (see parallel/mesh.py)
+    assert attn["in_w"].spec == P()
     assert attn["out_w"].spec == P(None, "model", None)   # row parallel
     ffn = sh["ar"]["decoder"]["layers"]["ffn"]
     assert ffn["lin1"]["w"].spec == P(None, None, "model")

@@ -76,10 +76,7 @@ def apply_sine_positional(
     out = x * jnp.asarray(x_scale, x.dtype) + (
         alpha.astype(x.dtype) * pe.astype(x.dtype)
     )
-    if not deterministic and dropout_rate > 0.0:
-        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, out.shape)
-        out = jnp.where(keep, out / (1.0 - dropout_rate), 0.0)
-    return out
+    return dropout(out, dropout_rate, rng, deterministic)
 
 
 def apply_sine_positional_gather(
@@ -100,10 +97,7 @@ def apply_sine_positional_gather(
     alpha = params.get("alpha", jnp.ones((1,), dtype=jnp.float32))
     pe = jnp.take(pe_table, jnp.maximum(pos_ids, 0), axis=0)
     out = x + alpha.astype(x.dtype) * pe.astype(x.dtype)
-    if not deterministic and dropout_rate > 0.0:
-        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, out.shape)
-        out = jnp.where(keep, out / (1.0 - dropout_rate), 0.0)
-    return out
+    return dropout(out, dropout_rate, rng, deterministic)
 
 
 def dropout(x, rate: float, rng, deterministic: bool):

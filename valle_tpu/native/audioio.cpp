@@ -64,6 +64,7 @@ int valle_read_wav(const char* path, float** out, WavInfo* info) {
   while (fread(chdr, 1, 8, f) == 8) {
     uint32_t sz = rd_u32(chdr + 4);
     if (!memcmp(chdr, "fmt ", 4)) {
+      if (sz < 16) { fclose(f); return -3; }  // truncated fmt chunk
       std::vector<uint8_t> buf(sz);
       if (fread(buf.data(), 1, sz, f) != sz) { fclose(f); return -3; }
       fmt = rd_u16(&buf[0]);
@@ -73,6 +74,15 @@ int valle_read_wav(const char* path, float** out, WavInfo* info) {
       if (fmt == 0xFFFE && sz >= 40) fmt = rd_u16(&buf[24]);  // extensible
       got_fmt = true;
     } else if (!memcmp(chdr, "data", 4)) {
+      // clamp the untrusted chunk size to the remaining file bytes:
+      // streaming writers emit 0xFFFFFFFF sizes, and resize(4GB) would
+      // throw bad_alloc through the extern "C" boundary (std::terminate)
+      long at = ftell(f);
+      fseek(f, 0, SEEK_END);
+      long remain = ftell(f) - at;
+      fseek(f, at, SEEK_SET);
+      if (remain < 0) remain = 0;
+      if ((uint64_t)sz > (uint64_t)remain) sz = (uint32_t)remain;
       data.resize(sz);
       size_t got = fread(data.data(), 1, sz, f);
       data.resize(got);
@@ -151,18 +161,29 @@ int valle_write_wav(const char* path, const float* data, int64_t frames,
   FILE* f = fopen(path, "wb");
   if (!f) return -2;
   const uint16_t fmt = (bits == 32) ? 3 : 1;
+  const bool ieee = (fmt == 3);
   const uint32_t data_bytes = (uint32_t)(frames * channels * (bits / 8));
+  // WAVE_FORMAT_IEEE_FLOAT conformance: non-PCM formats carry cbSize
+  // (fmt chunk size 18) and a 'fact' chunk with the sample-frame count
+  const uint32_t fmt_sz = ieee ? 18 : 16;
+  const uint32_t extra = ieee ? (2 /*cbSize*/ + 12 /*fact*/) : 0;
   fwrite("RIFF", 1, 4, f);
-  wr_u32(f, 36 + data_bytes);
+  wr_u32(f, 36 + extra + data_bytes);
   fwrite("WAVE", 1, 4, f);
   fwrite("fmt ", 1, 4, f);
-  wr_u32(f, 16);
+  wr_u32(f, fmt_sz);
   wr_u16(f, fmt);
   wr_u16(f, (uint16_t)channels);
   wr_u32(f, (uint32_t)sample_rate);
   wr_u32(f, (uint32_t)(sample_rate * channels * (bits / 8)));
   wr_u16(f, (uint16_t)(channels * (bits / 8)));
   wr_u16(f, (uint16_t)bits);
+  if (ieee) {
+    wr_u16(f, 0);                 // cbSize
+    fwrite("fact", 1, 4, f);
+    wr_u32(f, 4);
+    wr_u32(f, (uint32_t)frames);
+  }
   fwrite("data", 1, 4, f);
   wr_u32(f, data_bytes);
   const int64_t total = frames * channels;

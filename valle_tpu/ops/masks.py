@@ -119,7 +119,7 @@ def packed_ar_attn_bias(
 
 
 def causal_bias(T: int, dtype=jnp.float32) -> jnp.ndarray:
-    """(1, 1, T, T) strictly-causal additive bias."""
+    """(1, 1, T, T) inclusive-causal (each query sees keys k <= q) additive bias."""
     q = jnp.arange(T)[:, None]
     k = jnp.arange(T)[None, :]
     return jnp.where(k <= q, 0.0, NEG_INF).astype(dtype)[None, None]

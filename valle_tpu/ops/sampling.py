@@ -14,8 +14,6 @@ semantics are preserved:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -36,7 +34,8 @@ def top_k_top_p_filtering(
         logits = jnp.where(logits < kth, NEG_INF, logits)
 
     if top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        order = jnp.argsort(-logits, axis=-1)          # descending
+        sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         # mask tokens whose cumulative prob BEFORE them already exceeds top_p
@@ -48,12 +47,13 @@ def top_k_top_p_filtering(
         )
         if min_tokens_to_keep > 1:
             remove_sorted = remove_sorted.at[..., :min_tokens_to_keep].set(False)
-        # threshold in value space: smallest kept logit
-        kept_min = jnp.min(
-            jnp.where(remove_sorted, jnp.inf, sorted_logits), axis=-1,
-            keepdims=True,
-        )
-        logits = jnp.where(logits < kept_min, NEG_INF, logits)
+        # scatter removal back by SORTED INDEX like the reference's
+        # masked_fill(scatter(...)) — a value-space threshold would keep
+        # duplicates tied with the smallest kept logit that the reference
+        # drops
+        inv = jnp.argsort(order, axis=-1)
+        remove = jnp.take_along_axis(remove_sorted, inv, axis=-1)
+        logits = jnp.where(remove, NEG_INF, logits)
     return logits
 
 

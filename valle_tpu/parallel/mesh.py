@@ -52,10 +52,13 @@ def _spec_from_keys(keys, leaf) -> P:
         return P(*(lead + tail))
 
     in_attn = "self_attn" in keys or "cross_attn" in keys
-    if in_attn and name == "in_w":
-        return spec("model")          # (d, 3d) cols
-    if in_attn and name == "in_b":
-        return spec("model")
+    # the packed (d, 3d) QKV projection is NOT column-sharded: a 'model'
+    # split at 3d/tp crosses the Q/K/V block boundaries (tp=2 puts the
+    # cut at 1.5d), so the per-head split right after it would force
+    # resharding collectives every layer. Replicating the in-proj keeps
+    # attention compute local until the row-parallel out-proj.
+    if in_attn and name in ("in_w", "in_b"):
+        return P()
     if in_attn and name == "out_w":
         return spec("model", None)    # (d, d) rows
     if "lin1" in keys and name == "w":
@@ -123,8 +126,12 @@ def batch_shardings(batch, mesh: Mesh, *, leading_accum: bool = False):
     lead = (None,) if leading_accum else ()
 
     def f(leaf):
-        tail = (None,) * (leaf.ndim - len(lead) - 1)
-        return NamedSharding(mesh, P(*lead, "data", *tail))
+        n_tail = leaf.ndim - len(lead) - 1
+        if n_tail < 0:
+            raise ValueError(
+                f"batch leaf with {leaf.ndim} dims cannot carry "
+                f"{'an accum and ' if lead else ''}a batch dim to shard")
+        return NamedSharding(mesh, P(*lead, "data", *((None,) * n_tail)))
 
     return jax.tree_util.tree_map(f, batch)
 

@@ -72,7 +72,14 @@ def make_optimizer(params, *, base_lr: float = 0.05,
     if train_stage in (1, 2) and isinstance(params, dict) and \
             "ar" in params and "nar" in params:
         mask = stage_params_mask(params, train_stage)
-        opt = optax.masked(opt, mask)
+        # optax.masked passes RAW gradients through for mask=False leaves
+        # (verified on optax 0.2.6) — today those grads are structurally
+        # zero because the stage loss never touches the other subtree,
+        # but explicit zeroing makes freezing robust to any future
+        # cross-subtree coupling (e.g. weight tying or regularizers)
+        inv_mask = jax.tree_util.tree_map(lambda m: not m, mask)
+        opt = optax.chain(optax.masked(opt, mask),
+                          optax.masked(optax.set_to_zero(), inv_mask))
 
     sname = scheduler_name.lower()
     if sname == "eden":
@@ -92,13 +99,17 @@ def make_optimizer(params, *, base_lr: float = 0.05,
 
 def _set_lr(opt_state, lr):
     """Write the scheduled lr into an inject_hyperparams state (possibly
-    wrapped in optax.masked)."""
+    wrapped in optax.masked and/or optax.chain)."""
     if isinstance(opt_state, optax.MaskedState):
         return optax.MaskedState(inner_state=_set_lr(opt_state.inner_state,
                                                      lr))
-    hp = dict(opt_state.hyperparams)
-    hp["learning_rate"] = lr
-    return opt_state._replace(hyperparams=hp)
+    if hasattr(opt_state, "hyperparams"):
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = lr
+        return opt_state._replace(hyperparams=hp)
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        return tuple(_set_lr(st, lr) for st in opt_state)  # chain state
+    return opt_state
 
 
 def make_train_step(
