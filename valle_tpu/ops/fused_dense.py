@@ -52,8 +52,11 @@ import jax.numpy as jnp
 # Column/row chunk width for streamed weights. 512 lanes of bf16 at
 # D=1024 rows = 1 MiB per chunk; two slots per buffer double-buffer the
 # HBM->VMEM stream. Four live weight buffers + scratch stay well inside
-# the ~8 MiB of scoped VMEM available at decode shapes.
-_CHUNK = 512
+# the ~8 MiB of scoped VMEM available at decode shapes. Chunk 1024 also
+# compiles (4 MiB slots) and measured parity (3.07 vs 3.10 ms/step,
+# cross-session) — 512 stays the default for VMEM headroom; override via
+# VALLE_TPU_FUSED_CHUNK for experiments.
+_CHUNK = int(__import__("os").environ.get("VALLE_TPU_FUSED_CHUNK", "512"))
 
 
 def _pick_chunk(*dims: int) -> int:
