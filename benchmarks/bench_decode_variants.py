@@ -70,6 +70,18 @@ def main():
         "fused_w8_unroll": {"use_decode_kernel": True,
                             "decode_kernel_mode": "fused_w8",
                             "unroll_layers": True},
+        # round 3: token-exact combined-KV valid-block kernel modes
+        "bf16_grouped": {"use_decode_kernel": True,
+                         "decode_kernel_mode": "bf16_grouped"},
+        "bf16_unroll": {"use_decode_kernel": True,
+                        "decode_kernel_mode": "bf16_grouped",
+                        "unroll_layers": True},
+        "fused_kv": {"use_decode_kernel": True,
+                     "decode_kernel_mode": "fused_kv",
+                     "unroll_layers": True},
+        "mega": {"use_decode_kernel": True,
+                 "decode_kernel_mode": "mega",
+                 "unroll_layers": True},
         "exact_seg": {"cache_segment": 128},
         "fused_seg": {"use_decode_kernel": True,
                       "decode_kernel_mode": "fused",

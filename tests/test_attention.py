@@ -180,6 +180,63 @@ def test_ar_decode_int8_grouped_token_agreement():
     assert agreement > 0.9, agreement
 
 
+def test_kv_grouped_kernel_matches_oracle():
+    """Token-exact combined-KV grouped kernel (interpret) == masked
+    attention over the same cache (no quantization)."""
+    from valle_tpu.ops.decode_attention_kv import (
+        combine_kv,
+        decode_attention_kv,
+    )
+
+    B, H, T, D, S = 8, 4, 512, 64, 40
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H, 1, D))
+    k = jax.random.normal(ks[1], (B, H, T, D))
+    v = jax.random.normal(ks[2], (B, H, T, D))
+    x_lens = jnp.array([40, 25, 10, 33, 7, 40, 18, 2])
+    wp = jnp.array([300, 120, 60, 440, 95, 511, 200, 47])
+
+    out = decode_attention_kv(q, combine_kv(k, v), x_lens, wp,
+                              S=S, group=8, interpret=True)
+
+    kk = jnp.arange(T)[None, :]
+    valid = (kk < x_lens[:, None]) | ((kk >= S) & (kk <= wp[:, None]))
+    bias = jnp.where(valid, 0.0, -jnp.inf)[:, None, None, :]
+    ref = naive_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+@pytest.mark.parametrize("mode", ["bf16_grouped", "fused_kv", "mega"])
+def test_ar_decode_kv_grouped_token_equality(mode):
+    """The combined-KV kernel modes are TOKEN-EXACT at fp32 — unlike
+    int8_grouped, no quantization touches the cache, so every generated
+    token must match the exact path bit-for-bit. "mega" additionally
+    runs attention + the dense tail in one pallas_call
+    (ops/fused_attn_tail.py)."""
+    from valle_tpu.models import ValleConfig, init_valle
+    from valle_tpu.models.inference import valle_ar_decode
+
+    d = 32 if mode == "bf16_grouped" else 128  # fused kernels: 128-align
+    cfg = ValleConfig(d_model=d, nhead=2, num_layers=2, prefix_mode=1,
+                      num_quantizers=8, max_len=512, max_prefix_len=8)
+    params, _ = init_valle(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    B, S, P, G = 8, 9, 6, 16
+    text = jax.random.randint(ks[0], (B, S), 0, 90)
+    text_lens = jnp.full((B,), S).at[1].set(6)
+    pq0 = jax.random.randint(ks[1], (B, P), 0, 1024)
+    p_lens = jnp.full((B,), P).at[1].set(4)
+    base, bl = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                               ks[2], top_k=1, max_gen_len=G)
+    kv, kl = valle_ar_decode(params, cfg, text, text_lens, pq0, p_lens,
+                             ks[2], top_k=1, max_gen_len=G,
+                             use_decode_kernel=True, kernel_interpret=True,
+                             decode_kernel_mode=mode,
+                             unroll_layers=(mode != "bf16_grouped"))
+    np.testing.assert_array_equal(np.asarray(bl), np.asarray(kl))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(kv))
+
+
 def test_ar_decode_unroll_token_equality():
     """unroll_layers changes scheduling only — token-exact vs fori_loop."""
     from valle_tpu.models import ValleConfig, init_valle

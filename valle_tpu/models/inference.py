@@ -156,13 +156,17 @@ def valle_ar_decode(
 
         # grouped modes need B % 8 == 0; resolve the effective mode here so
         # cache rounding and kernel dispatch agree
-        if decode_kernel_mode in ("grouped", "int8_grouped") and B % 8 != 0:
+        if decode_kernel_mode in ("grouped", "int8_grouped",
+                                  "bf16_grouped") and B % 8 != 0:
             decode_kernel_mode = "per_sample"
-        if decode_kernel_mode == "fused_int8" and B % 8 != 0:
+        if decode_kernel_mode in ("fused_int8", "fused_kv",
+                                  "mega") and B % 8 != 0:
             decode_kernel_mode = "fused"
         if decode_kernel_mode != "fused":
             blk = (128 if decode_kernel_mode in ("grouped", "int8_grouped",
-                                                 "fused_int8")
+                                                 "fused_int8",
+                                                 "bf16_grouped", "fused_kv",
+                                                 "mega")
                    else BLOCK_K)
             cache_len = ((cache_len + blk - 1) // blk) * blk
 
@@ -190,6 +194,14 @@ def valle_ar_decode(
         vq, vsc = tfm.quantize_kv(cache["v"])
         cache = {"kv": combine_kv_int8(kq, vq),
                  "scale": stack_scales(ksc, vsc)}
+    elif use_decode_kernel and decode_kernel_mode in ("bf16_grouped",
+                                                      "fused_kv", "mega"):
+        # combined (L,B,H,T,2Dh) KV in the compute dtype, natural layout:
+        # cheap sublane writes + the token-exact valid-block kernel
+        # (see ops/decode_attention_kv.py)
+        from ..ops.decode_attention_kv import combine_kv
+
+        cache = {"kv": combine_kv(cache["k"], cache["v"])}
     elif use_decode_kernel and decode_kernel_mode in ("fused", "fused_w8"):
         pass  # fused dense kernels keep the natural (L,B,H,T,Dh) cache
     elif use_decode_kernel:
@@ -301,7 +313,9 @@ def valle_ar_decode(
     # valle_inference/serving. Use decode_mode='int8' for long caches.
     segmented = (cache_segment > 0
                  and decode_kernel_mode not in ("int8_grouped", "grouped",
-                                                "per_sample", "fused_int8")
+                                                "per_sample", "fused_int8",
+                                                "bf16_grouped", "fused_kv",
+                                                "mega")
                  and not kv_cache_int8)
     if segmented:
         bounds = []
@@ -648,13 +662,22 @@ def valle_inference(
             B=text.shape[0], S=text.shape[1], P=prompt_codes.shape[1],
             max_gen_len=max_gen_len)
     ar_kw = {}
+    # Pallas kernels are Mosaic/TPU programs; on any other backend the
+    # public decode modes run them in interpret mode so the API surface
+    # behaves identically everywhere (tests/CI run on CPU).
+    interp = jax.default_backend() != "tpu"
     if cfg.model_name != "vallf":
         if decode_mode == "unroll":
             ar_kw = {"unroll_layers": True}
         elif decode_mode == "int8" and text.shape[0] % 8 == 0:
             ar_kw = {"use_decode_kernel": True,
                      "decode_kernel_mode": "int8_grouped"}
-        elif decode_mode in ("fused", "fused_int8", "fused_w8"):
+        elif decode_mode == "bf16" and text.shape[0] % 8 == 0:
+            # token-exact valid-block combined-KV kernel, XLA dense path
+            ar_kw = {"use_decode_kernel": True,
+                     "decode_kernel_mode": "bf16_grouped"}
+        elif decode_mode in ("fused", "fused_int8", "fused_w8",
+                             "fused_kv", "mega"):
             # dense path (LN/QKV/out-proj/FFN) in weight-streaming Pallas
             # kernels; attention on the exact XLA path ("fused"/"fused_w8",
             # the latter with int8-quantized streamed weights) or the
@@ -670,6 +693,8 @@ def valle_inference(
                          "unroll_layers": True}
             else:  # odd model shapes: token-exact XLA fallback
                 ar_kw = {"unroll_layers": True}
+    if ar_kw.get("use_decode_kernel"):
+        ar_kw["kernel_interpret"] = interp
     gen_q0, gen_lens = ar_decode(
         params, cfg, text, text_lens, prompt_codes[..., 0], prompt_lens,
         rng, top_k=top_k, temperature=temperature, max_gen_len=max_gen_len,

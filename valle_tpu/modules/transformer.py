@@ -759,7 +759,14 @@ def encoder_stack_decode_step(
     bidx = jnp.arange(B)
     mode = kernel_ctx[4] if kernel_ctx is not None else None
     int8_mode = mode in ("int8_grouped", "fused_int8")
-    fused_mode = mode in ("fused", "fused_int8", "fused_w8")
+    # combined bf16/f32 KV cache + token-exact valid-block kernel
+    # (ops/decode_attention_kv.py); same natural-layout sublane DUS write
+    # as the int8 path, no quantization. "mega" additionally merges the
+    # attention INTO the dense-tail kernel (2 pallas_calls per layer,
+    # ops/fused_attn_tail.py).
+    kv_mode = mode in ("bf16_grouped", "fused_kv", "mega")
+    fused_mode = mode in ("fused", "fused_int8", "fused_w8", "fused_kv",
+                          "mega")
     # int8-weight streaming: p["w8"] carries quantized stacked weights +
     # per-channel scales (see inference.quantize_decoder_weights)
     w8 = p.get("w8") if mode == "fused_w8" else None
@@ -770,6 +777,9 @@ def encoder_stack_decode_step(
         if int8_mode:
             h, ckv_all, sc_all = carry
             ck_all = cv_all = None
+        elif kv_mode:
+            h, ckv_all = carry
+            sc_all = ck_all = cv_all = None
         else:
             h, ck_all, cv_all = carry
         index = ((lambda a: a[i]) if isinstance(i, int) else
@@ -801,7 +811,35 @@ def encoder_stack_decode_step(
         k = _split_heads(k, nhead)
         v = _split_heads(v, nhead)
 
-        if int8_mode:
+        if kv_mode:
+            kvc = jnp.concatenate([k, v], axis=-1)     # (B, H, 1, 2Dh)
+            ckv_all = ckv_all.at[i, bidx, :, pos, :].set(
+                kvc[:, :, 0, :].astype(ckv_all.dtype))
+            x_lens, write_pos, S, interp, _ = kernel_ctx
+            if mode == "mega":
+                # attention + out-proj + LN2 + FFN in ONE pallas_call
+                from ..ops.fused_attn_tail import fused_attn_tail
+
+                h = fused_attn_tail(
+                    q, h[:, 0, :], ckv_all, x_lens, write_pos, i,
+                    p["layers"]["self_attn"]["out_w"],
+                    lp["self_attn"]["out_b"],
+                    lp["norm2"]["scale"], lp["norm2"]["bias"],
+                    p["layers"]["ffn"]["lin1"]["w"],
+                    lp["ffn"]["lin1"]["b"],
+                    p["layers"]["ffn"]["lin2"]["w"],
+                    lp["ffn"]["lin2"]["b"],
+                    S=S, activation=activation,
+                    interpret=interp)[:, None, :]
+                return (h, ckv_all)
+            from ..ops.decode_attention_kv import decode_attention_kv
+
+            # stacked form: full (L,...) cache + layer index, so no
+            # per-layer (B,H,T,2Dh) slice materializes outside the kernel
+            out = decode_attention_kv(
+                q, ckv_all, x_lens, write_pos, i, S=S, group=8,
+                interpret=interp)
+        elif int8_mode:
             from ..ops.decode_attention_int8_grouped import (
                 decode_attention_int8_grouped,
             )
@@ -876,6 +914,8 @@ def encoder_stack_decode_step(
                 interpret=kernel_ctx[3])[:, None, :]
             if int8_mode:
                 return (h, ckv_all, sc_all)
+            if kv_mode:
+                return (h, ckv_all)
             return (h, ck_all, cv_all)
         out_w = lp["self_attn"]["out_w"] if dtype is None else (
             lp["self_attn"]["out_w"].astype(dtype))
@@ -895,10 +935,14 @@ def encoder_stack_decode_step(
                 deterministic=True, dtype=dtype), None)
         if int8_mode:
             return (h, ckv_all, sc_all)
+        if kv_mode:
+            return (h, ckv_all)
         return (h, ck_all, cv_all)
 
     if int8_mode:
         init = (x, cache["kv"], cache["scale"])
+    elif kv_mode:
+        init = (x, cache["kv"])
     else:
         init = (x, cache["k"], cache["v"])
     if unroll:
@@ -912,4 +956,6 @@ def encoder_stack_decode_step(
         h = apply_norm(p["final_norm"], h, None)
     if int8_mode:
         return h, {"kv": carry[1], "scale": carry[2]}
+    if kv_mode:
+        return h, {"kv": carry[1]}
     return h, {"k": carry[1], "v": carry[2]}
