@@ -190,3 +190,37 @@ def test_decode_bf16_close_to_fp32(params):
     err = np.mean((out - ref) ** 2)
     snr_db = 10 * np.log10(np.mean(ref ** 2) / (err + 1e-30))
     assert snr_db > 30.0, snr_db
+
+
+def test_verify_encodec_kit_runs_end_to_end(tmp_path):
+    """The real-weights readiness kit (bin/verify_encodec.py) must run its
+    whole pipeline TODAY so it works the day real weights exist: import a
+    torch state dict, encode the fixture, golden write + exact re-match,
+    decode + SNR gate. The mirror's random weights exercise every path;
+    with them the run must be deterministic (golden matches itself)."""
+    import subprocess
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "tests")
+    from encodec_torch_mirror import MirrorEncodec
+
+    torch.manual_seed(0)
+    mirror = MirrorEncodec().eval()
+    wpath = tmp_path / "mirror_weights.pt"
+    torch.save(mirror.state_dict(), wpath)
+    golden = tmp_path / "golden.npz"
+
+    from valle_tpu.bin import verify_encodec
+
+    # first run pins the golden (SNR gate disabled: random weights)
+    rc = verify_encodec.main(["--weights", str(wpath),
+                              "--golden", str(golden),
+                              "--write-golden", "--min-snr-db", "-1000"])
+    assert rc == 0 and golden.exists()
+    # second run must match the golden exactly (deterministic pipeline)
+    rc = verify_encodec.main(["--weights", str(wpath),
+                              "--golden", str(golden),
+                              "--min-snr-db", "-1000"])
+    assert rc == 0

@@ -348,3 +348,18 @@ def test_prompted_features_static_shapes_through_dataset(tmp_path):
     p2, f2 = b2["audio_features"].data
     assert p1.shape[1] == p2.shape[1] == 240
     assert f1.shape[1] == f2.shape[1] == 256
+
+
+def test_parallel_phonemize_matches_serial():
+    """--text-workers fan-out must produce IDENTICAL tokens to the serial
+    path (char backend — the always-available frontend; espeak/pypinyin
+    workers use the same pool machinery)."""
+    from valle_tpu.bin.tokenizer import phonemize_texts
+
+    texts = [f"hello world {i} sample text" for i in range(12)]
+    serial = phonemize_texts(texts, language="en-us", backend="char",
+                             workers=0)
+    parallel = phonemize_texts(texts, language="en-us", backend="char",
+                               workers=2)
+    assert serial == parallel
+    assert serial[0] == list("hello_world_0_sample_text")

@@ -50,6 +50,70 @@ def test_overfit_fixed_batch():
     assert all(l == l for l in losses), "NaN loss"  # no NaNs
 
 
+def test_inexact_decode_modes_agree_on_trained_weights():
+    """VERDICT round-2 weak spot #3: int8/fused_w8 agreement was only ever
+    measured on RANDOM weights, where near-uniform logits make any near-tie
+    flip cascade. Train the tiny model to real logit margins (overfit a
+    fixed batch), then require the quantized decode modes to reproduce the
+    exact path's tokens near-perfectly. This is the evidence that gates
+    decode_mode="auto"'s int8 arm (models/inference.py
+    resolve_auto_decode_mode)."""
+    import numpy as np
+
+    from valle_tpu.models.inference import valle_ar_decode
+
+    # d_model 128 so the fused kernels' 128-lane alignment holds
+    cfg = ValleConfig(model_name="valle", d_model=128, nhead=2,
+                      num_layers=2, prefix_mode=1, num_quantizers=8,
+                      max_len=512, max_prefix_len=8, dropout=0.0)
+    params, _ = init_valle(jax.random.PRNGKey(0), cfg)
+    opt, lr_fn = make_optimizer(params, base_lr=0.05, train_stage=1,
+                                warmup_steps=10)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step_fn = jax.jit(make_train_step(cfg, opt, lr_fn, train_stage=1,
+                                      accum_steps=1))
+
+    B, S, T = 8, 8, 24
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    batch = {
+        "text": jax.random.randint(ks[0], (B, S), 0, 50, dtype=jnp.int32),
+        "text_lens": jnp.full((B,), S, jnp.int32),
+        "audio": jax.random.randint(ks[1], (B, T, 8), 0, 1024,
+                                    dtype=jnp.int32),
+        "audio_lens": jnp.full((B,), T, jnp.int32),
+    }
+    losses = []
+    for _ in range(150):
+        state, metrics = step_fn(state, batch, jnp.int32(0),
+                                 jax.random.PRNGKey(2))
+        losses.append(float(metrics["loss"]) / float(metrics["frames"]))
+    assert losses[-1] < 0.35 * losses[0], (losses[0], losses[-1])
+
+    # decode the training prompts greedily with real margins
+    tparams = state.params
+    text = batch["text"]
+    text_lens = batch["text_lens"]
+    pq0 = batch["audio"][:, :6, 0]
+    p_lens = jnp.full((B,), 6, jnp.int32)
+    G = 16
+    common = dict(top_k=1, max_gen_len=G, force_full_length=True)
+    base, _ = valle_ar_decode(tparams, cfg, text, text_lens, pq0, p_lens,
+                              jax.random.PRNGKey(5), **common)
+    base = np.asarray(base)
+
+    agreements = {}
+    for mode in ("int8_grouped", "fused_w8"):
+        out, _ = valle_ar_decode(
+            tparams, cfg, text, text_lens, pq0, p_lens,
+            jax.random.PRNGKey(5), use_decode_kernel=True,
+            kernel_interpret=True, decode_kernel_mode=mode,
+            unroll_layers=(mode == "fused_w8"), **common)
+        agreements[mode] = float((np.asarray(out) == base).mean())
+    # trained margins dwarf the quantization noise: near-exact agreement
+    for mode, agr in agreements.items():
+        assert agr >= 0.98, (mode, agr, agreements)
+
+
 def test_stage_masking_freezes_other_subtree():
     """Stage-1 training must leave every NAR parameter untouched."""
     cfg = ValleConfig(d_model=32, nhead=2, num_layers=2, num_quantizers=8,

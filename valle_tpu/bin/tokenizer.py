@@ -42,7 +42,60 @@ def get_args():
     parser.add_argument("--encodec-weights", type=str, default=None)
     parser.add_argument("--batch-duration", type=float, default=120.0,
                         help="Seconds of audio per encode batch.")
+    parser.add_argument("--text-workers", type=int, default=0,
+                        help="Parallel phonemizer processes (0 = serial). "
+                             "Closes the reference's open TODO "
+                             "'Parallelize bin/tokenizer.py' "
+                             "(reference README.md:144): espeak "
+                             "phonemization is the serial bottleneck "
+                             "there; here it fans out over worker "
+                             "processes while the audio path stays "
+                             "batched on the TPU.")
     return parser.parse_args()
+
+
+_WORKER_TOKENIZER = None
+
+
+def _phonemize_init(language: str, backend: str):
+    """Pool initializer: each worker builds its own espeak/pypinyin
+    backend (the phonemizer backends are not thread-safe; process
+    isolation sidesteps that). Workers never touch the TPU."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    global _WORKER_TOKENIZER
+    from ..data import TextTokenizer
+
+    _WORKER_TOKENIZER = TextTokenizer(language=language, backend=backend)
+
+
+def _phonemize_one(text: str):
+    from ..data.tokenizer import tokenize_text
+
+    return tokenize_text(_WORKER_TOKENIZER, text)
+
+
+def phonemize_texts(texts, *, language: str, backend: str, workers: int,
+                    serial_tokenizer=None):
+    """Tokenize ``texts`` -> list of token lists, fanning out over
+    ``workers`` processes when workers > 1 (identical output to serial:
+    pinned by tests/test_data.py::test_parallel_phonemize_matches_serial).
+    """
+    if workers and workers > 1:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")  # never fork a live TPU client
+        with ctx.Pool(workers, initializer=_phonemize_init,
+                      initargs=(language, backend)) as pool:
+            return pool.map(_phonemize_one, texts, chunksize=16)
+    from ..data.tokenizer import tokenize_text
+
+    if serial_tokenizer is None:
+        from ..data import TextTokenizer
+
+        serial_tokenizer = TextTokenizer(language=language, backend=backend)
+    return [tokenize_text(serial_tokenizer, t) for t in texts]
 
 
 def main():
@@ -50,7 +103,7 @@ def main():
     setup_logger()
     from ..data import CutSet, TextTokenizer
     from ..data.manifests import FeatureRef, Hdf5FeatureStore
-    from ..data.tokenizer import AudioTokenExtractor, tokenize_text
+    from ..data.tokenizer import AudioTokenExtractor
 
     args.output_dir.mkdir(parents=True, exist_ok=True)
     text_tokenizer = TextTokenizer(language=args.language,
@@ -119,10 +172,15 @@ def main():
                     batch, batch_dur = [], 0.0
             flush(batch)
 
-        # phonemize (reference :226-242)
+        # phonemize (reference :226-242), optionally fanned out over
+        # worker processes (--text-workers)
         for c in new_cuts:
             assert c.text is not None, f"cut {c.id} has no text"
-            tokens = tokenize_text(text_tokenizer, c.text)
+        token_lists = phonemize_texts(
+            [c.text for c in new_cuts], language=args.language,
+            backend=args.text_extractor, workers=args.text_workers,
+            serial_tokenizer=text_tokenizer)
+        for c, tokens in zip(new_cuts, token_lists):
             c.tokens = tokens
             unique_symbols.update(tokens)
 

@@ -62,6 +62,12 @@ class ValleConfig:
     activation: str = "relu"
     max_len: int = 4096                   # PE table length
     max_prefix_len: int = 225             # 3 s at 75 Hz (reference valle.py:350)
+    # training rematerialization policy for the layer scan: "full"
+    # (checkpoint everything — lowest memory, recompute-heavy), "dots"
+    # (jax.checkpoint_policies.checkpoint_dots: matmul outputs saved,
+    # element-wise ops recomputed), "none" (save all residuals).
+    # Measured A/Bs in BASELINE.md (bench_train_stage.py).
+    remat: str = "full"
 
     @property
     def nar_d_model(self) -> int:
@@ -364,7 +370,7 @@ def valle_forward(
             nhead=cfg.nhead, norm_first=cfg.norm_first,
             activation=cfg.activation, dropout_rate=cfg.dropout,
             rng=rngs[2], deterministic=deterministic, dtype=compute_dtype,
-            remat=training)
+            remat=(cfg.remat if training else False))
         logits = xy_dec[:, S:] @ params["ar"]["predict"]["w"].astype(
             xy_dec.dtype)  # (B, y_len_ar, V+1)
         # (prepend_bos: targets already include all y_len_ar positions)
@@ -554,7 +560,7 @@ def _nar_branch(params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
         nhead=cfg.nar_nhead, norm_first=cfg.norm_first,
         activation=cfg.activation, dropout_rate=cfg.dropout,
         rng=stack_rng, deterministic=deterministic, dtype=compute_dtype,
-        remat=training)
+        remat=(cfg.remat if training else False))
     y_dec = xy_dec[:, -T:]  # the y region is always the trailing T positions
 
     W = nar_predict_weights(params, cfg)  # (Q-1, nd, V)
@@ -630,7 +636,7 @@ def valle_ar_forward_packed(
         nhead=cfg.nhead, norm_first=cfg.norm_first,
         activation=cfg.activation, dropout_rate=cfg.dropout,
         rng=rngs[2], deterministic=deterministic, dtype=compute_dtype,
-        remat=training)
+        remat=(cfg.remat if training else False))
     S = text.shape[1]
     logits = xy_dec[:, S:] @ params["ar"]["predict"]["w"].astype(
         xy_dec.dtype)  # (B, T, V+1)
@@ -716,7 +722,7 @@ def _vallf_forward(params, cfg, batch, *, train_stage, rng, deterministic,
             nhead=cfg.nhead, norm_first=cfg.norm_first,
             activation=cfg.activation, dropout_rate=cfg.dropout,
             rng=rngs[2], deterministic=deterministic, dtype=compute_dtype,
-            remat=training)
+            remat=(cfg.remat if training else False))
         logits = y_dec @ params["ar"]["predict"]["w"].astype(y_dec.dtype)
         ar_loss = _cross_entropy_sum(logits, ar_targets)
         total_loss = total_loss + ar_loss
@@ -865,7 +871,7 @@ def _nar_branch_vallf(params, cfg, xn, x_lens, nar_y, codes, y_lens,
         nhead=cfg.nar_nhead, norm_first=cfg.norm_first,
         activation=cfg.activation, dropout_rate=cfg.dropout,
         rng=stack_rng, deterministic=deterministic, dtype=compute_dtype,
-        remat=training)
+        remat=(cfg.remat if training else False))
     y_dec = y_dec[:, -T:]
     W = nar_predict_weights(params, cfg)
     Wj = (W * jax.nn.one_hot(nar_stage - 1, cfg.num_quantizers - 1,

@@ -21,6 +21,7 @@ TPU-first design:
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional
 
@@ -28,6 +29,15 @@ import jax
 import jax.numpy as jnp
 
 from .embedding import dropout as _dropout
+
+# Opt-in bf16 score materialization for TRAINING attention (the NAR-step
+# profile attributes 2.4 GB/layer-pass of HBM traffic to the f32 S x S
+# score/probability matrices — BASELINE.md). The matmul still accumulates
+# fp32 on the MXU; only the MATERIALIZED scores/probs (and the softmax
+# reductions over them) drop to bf16, halving that traffic. Guarded by the
+# loss-parity check in benchmarks/bench_train_stage.py; fp32 compute paths
+# are unaffected (the cast only applies to bf16 inputs).
+SCORE_BF16 = os.environ.get("VALLE_TPU_ATTN_SCORE_BF16", "0") == "1"
 
 # ---------------------------------------------------------------------------
 # Initializers
@@ -144,11 +154,13 @@ def _attend(q, k, v, bias, *, dropout_rate=0.0, rng=None, deterministic=True):
 
         return fused_attention(q, k, v, bias)
     dh = q.shape[-1]
+    sdt = (jnp.bfloat16 if SCORE_BF16 and q.dtype == jnp.bfloat16
+           else jnp.float32)
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) / math.sqrt(dh)
+    ).astype(sdt) / math.sqrt(dh)
     if bias is not None:
-        scores = scores + bias.astype(jnp.float32)
+        scores = scores + bias.astype(sdt)
     probs = jax.nn.softmax(scores, axis=-1)
     probs = _dropout(probs, dropout_rate, rng, deterministic)
     out = jnp.einsum(
@@ -469,12 +481,27 @@ def encoder_stack_apply(
         )
         return h, None
 
-    if remat:
-        body = jax.checkpoint(body)
+    body = _apply_remat(body, remat)
     x, _ = jax.lax.scan(body, x, (p["layers"], jnp.arange(num_layers)))
     if "final_norm" in p:
         x = apply_norm(p["final_norm"], x, cond)
     return x
+
+
+def _apply_remat(body, remat):
+    """Wrap a scan body per the remat policy: False/"none" saves all
+    residuals, True/"full" recomputes everything, "dots" saves matmul
+    outputs and recomputes element-wise ops
+    (jax.checkpoint_policies.checkpoint_dots). Measured A/Bs in
+    BASELINE.md (benchmarks/bench_train_stage.py)."""
+    if remat in (False, "none"):
+        return body
+    if remat in (True, "full"):
+        return jax.checkpoint(body)
+    if remat == "dots":
+        return jax.checkpoint(
+            body, policy=jax.checkpoint_policies.checkpoint_dots)
+    raise ValueError(f"unknown remat policy {remat!r}")
 
 
 def decoder_stack_apply(
@@ -497,8 +524,7 @@ def decoder_stack_apply(
         )
         return h, None
 
-    if remat:
-        body = jax.checkpoint(body)
+    body = _apply_remat(body, remat)
     x, _ = jax.lax.scan(body, x, (p["layers"], jnp.arange(num_layers)))
     if "final_norm" in p:
         x = apply_norm(p["final_norm"], x, cond)
