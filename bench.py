@@ -43,29 +43,29 @@ def main():
     prompt_q0 = jax.random.randint(ks[1], (B, P), 0, 1024, dtype=jnp.int32)
     prompt_lens = jnp.full((B,), P, jnp.int32)
 
-    # fastest shipped decode at this config: weight-streaming fused
-    # dense-path Pallas kernels + unrolled layers (ops/fused_dense.py;
-    # token-exact, 3.05 vs 3.15 ms/step over the int8 attention kernel and
-    # 3.0 vs 3.19 over plain XLA in same-session A/Bs — BASELINE.md).
-    # Falls back to the exact XLA path if the kernels fail to compile.
-    decode_kw = {"use_decode_kernel": True,
-                 "decode_kernel_mode": "fused",
-                 "unroll_layers": True}
-
-    def run(rng):
-        return valle_ar_decode(
-            params, cfg, text, text_lens, prompt_q0, prompt_lens, rng,
-            top_k=10, temperature=1.0, max_gen_len=GEN,
-            compute_dtype=jnp.bfloat16, force_full_length=True, **decode_kw)
+    # SELF-TUNING mode pick: decode-kernel throughput varies between
+    # tunnel sessions in ways that do not track the XLA baseline (round-3
+    # measured the round-2-champion fused kernels at 2x their recorded
+    # ms/step in a session where the XLA path matched its record —
+    # BASELINE.md). Probe the token-exact candidates in THIS session and
+    # keep the fastest; every candidate is parity-tested, so the pick
+    # only affects speed.
+    candidates = [
+        ("fused_unroll", {"use_decode_kernel": True,
+                          "decode_kernel_mode": "fused",
+                          "unroll_layers": True}),
+        ("exact", {}),
+    ]
 
     import numpy as np
 
-    try:
-        np.asarray(run(jax.random.fold_in(ks[2], 0))[0])
-    except Exception as e:  # pragma: no cover - backend-specific
-        print(f"# int8 decode kernel unavailable ({type(e).__name__}); "
-              "falling back to the exact XLA path", flush=True)
-        decode_kw.clear()
+    def make_run(kw):
+        def run(rng):
+            return valle_ar_decode(
+                params, cfg, text, text_lens, prompt_q0, prompt_lens, rng,
+                top_k=10, temperature=1.0, max_gen_len=GEN,
+                compute_dtype=jnp.bfloat16, force_full_length=True, **kw)
+        return run
 
     # Timing methodology (hard-won on this backend):
     # - jax.block_until_ready does NOT wait on the tunnel backend (it
@@ -75,16 +75,32 @@ def main():
     # - the first ~3 post-compile executions run ~2x slow (one-time
     #   program/weight loading); warm up with several executions before
     #   timing steady state.
-    for w in range(4):
-        codes, lens = run(jax.random.fold_in(ks[2], 100 + w))
-        np.asarray(codes)
+    def timed(run, n_iters, base=0):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            codes, _ = run(jax.random.fold_in(ks[2], base + i + 1))
+            np.asarray(codes)
+        return (time.perf_counter() - t0) / n_iters
 
-    n_iters = 3
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        codes, lens = run(jax.random.fold_in(ks[2], i + 1))
-        np.asarray(codes)
-    dt = (time.perf_counter() - t0) / n_iters
+    best = None
+    for name, kw in candidates:
+        run = make_run(kw)
+        try:
+            np.asarray(run(jax.random.fold_in(ks[2], 0))[0])
+        except Exception as e:  # pragma: no cover - backend-specific
+            print(f"# mode {name} unavailable ({type(e).__name__})",
+                  flush=True)
+            continue
+        for w in range(4):
+            np.asarray(run(jax.random.fold_in(ks[2], 100 + w))[0])
+        probe = timed(run, 2, base=200)
+        print(f"# probe {name}: {probe*1e3/GEN:.3f} ms/step", flush=True)
+        if best is None or probe < best[2]:
+            best = (name, run, probe)
+
+    name, run, _ = best
+    print(f"# selected decode mode: {name}", flush=True)
+    dt = timed(run, 3)
 
     frames = B * GEN
     fps = frames / dt

@@ -82,6 +82,12 @@ def main():
         "mega": {"use_decode_kernel": True,
                  "decode_kernel_mode": "mega",
                  "unroll_layers": True},
+        "lanes": {"use_decode_kernel": True,
+                  "decode_kernel_mode": "lanes_grouped",
+                  "unroll_layers": True},
+        "fused_lanes": {"use_decode_kernel": True,
+                        "decode_kernel_mode": "fused_lanes",
+                        "unroll_layers": True},
         "exact_seg": {"cache_segment": 128},
         "fused_seg": {"use_decode_kernel": True,
                       "decode_kernel_mode": "fused",

@@ -73,38 +73,41 @@ def main():
         return jnp.einsum("bhqk,bhkd->bhqd", p, v,
                           preferred_element_type=jnp.float32).astype(dt)
 
+    # operands are passed as jit ARGUMENTS — closure-captured arrays get
+    # constant-folded into the HLO, and an 805 MB constant overflows the
+    # remote-compile tunnel (HTTP 413) besides skewing the measurement
     variants = {
-        "xla": xla_attn,
-        "kv_sliced": lambda qi: decode_attention_kv(
-            qi, kv4, x_lens, wp, S=S),
-        "kv_stacked": lambda qi: decode_attention_kv(
-            qi, kv5, x_lens, wp, 5, S=S),
-        "int8": lambda qi: decode_attention_int8_grouped(
-            qi, kv_i8, sc_i8, x_lens, wp, S=S),
-        "grouped_bf16T": lambda qi: decode_attention_grouped(
-            qi, kT, vT, x_lens, wp, S=S),
+        "xla": (lambda qi, op: xla_attn(qi), ()),
+        "kv_sliced": (lambda qi, op: decode_attention_kv(
+            qi, op[0], x_lens, wp, S=S), (kv4,)),
+        "kv_stacked": (lambda qi, op: decode_attention_kv(
+            qi, op[0], x_lens, wp, 5, S=S), (kv5,)),
+        "int8": (lambda qi, op: decode_attention_int8_grouped(
+            qi, op[0], op[1], x_lens, wp, S=S), (kv_i8, sc_i8)),
+        "grouped_bf16T": (lambda qi, op: decode_attention_grouped(
+            qi, op[0], op[1], x_lens, wp, S=S), (kT, vT)),
     }
 
     results = {}
-    for name, fn in variants.items():
+    for name, (fn, operands) in variants.items():
         @jax.jit
-        def run(q, fn=fn):
+        def run(q, operands, fn=fn):
             def body(c, i):
                 qi = c + 0.0001 * i  # vary input every iteration
-                o = fn(qi.astype(dt))
+                o = fn(qi.astype(dt), operands)
                 return c, jnp.sum(o.astype(jnp.float32))
             _, sums = jax.lax.scan(body, q, jnp.arange(N, dtype=jnp.float32))
             return jnp.sum(sums)
 
         t0 = time.perf_counter()
-        np.asarray(run(q0))
+        np.asarray(run(q0, operands))
         print(f"[{name}] compile+first {time.perf_counter()-t0:.1f}s",
               flush=True)
         times = []
         for it in range(4):
             qv = q0 + 0.001 * it
             t0 = time.perf_counter()
-            np.asarray(run(qv))
+            np.asarray(run(qv, operands))
             times.append(time.perf_counter() - t0)
         best = min(times[1:])
         results[name] = {"us_per_call": round(best / N * 1e6, 1)}

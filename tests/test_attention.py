@@ -206,7 +206,35 @@ def test_kv_grouped_kernel_matches_oracle():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
-@pytest.mark.parametrize("mode", ["bf16_grouped", "fused_kv", "mega"])
+def test_lanes_kernel_matches_oracle():
+    """Lane-combined contiguous-DMA kernel (interpret) == masked attention
+    over the same K/V (token-exact layout #4; see
+    ops/decode_attention_lanes.py)."""
+    from valle_tpu.ops.decode_attention_lanes import (
+        combine_kv_lanes,
+        decode_attention_lanes,
+    )
+
+    B, H, T, D, S = 8, 4, 512, 64, 40
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H, 1, D))
+    k = jax.random.normal(ks[1], (B, H, T, D))
+    v = jax.random.normal(ks[2], (B, H, T, D))
+    x_lens = jnp.array([40, 25, 10, 33, 7, 40, 18, 2])
+    wp = jnp.array([300, 120, 60, 440, 95, 511, 200, 47])
+
+    out = decode_attention_lanes(q, combine_kv_lanes(k, v), x_lens, wp,
+                                 S=S, nhead=H, group=8, interpret=True)
+
+    kk = jnp.arange(T)[None, :]
+    valid = (kk < x_lens[:, None]) | ((kk >= S) & (kk <= wp[:, None]))
+    bias = jnp.where(valid, 0.0, -jnp.inf)[:, None, None, :]
+    ref = naive_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+@pytest.mark.parametrize("mode", ["bf16_grouped", "fused_kv", "mega",
+                                  "lanes_grouped", "fused_lanes"])
 def test_ar_decode_kv_grouped_token_equality(mode):
     """The combined-KV kernel modes are TOKEN-EXACT at fp32 — unlike
     int8_grouped, no quantization touches the cache, so every generated
@@ -216,7 +244,8 @@ def test_ar_decode_kv_grouped_token_equality(mode):
     from valle_tpu.models import ValleConfig, init_valle
     from valle_tpu.models.inference import valle_ar_decode
 
-    d = 32 if mode == "bf16_grouped" else 128  # fused kernels: 128-align
+    d = (32 if mode in ("bf16_grouped", "lanes_grouped")
+         else 128)  # fused kernels need 128-aligned dims
     cfg = ValleConfig(d_model=d, nhead=2, num_layers=2, prefix_mode=1,
                       num_quantizers=8, max_len=512, max_prefix_len=8)
     params, _ = init_valle(jax.random.PRNGKey(0), cfg)
@@ -232,7 +261,8 @@ def test_ar_decode_kv_grouped_token_equality(mode):
                              ks[2], top_k=1, max_gen_len=G,
                              use_decode_kernel=True, kernel_interpret=True,
                              decode_kernel_mode=mode,
-                             unroll_layers=(mode != "bf16_grouped"))
+                             unroll_layers=mode not in ("bf16_grouped",
+                                                        "lanes_grouped"))
     np.testing.assert_array_equal(np.asarray(bl), np.asarray(kl))
     np.testing.assert_array_equal(np.asarray(base), np.asarray(kv))
 

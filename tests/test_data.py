@@ -359,7 +359,9 @@ def test_parallel_phonemize_matches_serial():
     texts = [f"hello world {i} sample text" for i in range(12)]
     serial = phonemize_texts(texts, language="en-us", backend="char",
                              workers=0)
+    # char normally short-circuits to serial (pool can't pay for it);
+    # _force_pool exercises the real worker-pool path in tests
     parallel = phonemize_texts(texts, language="en-us", backend="char",
-                               workers=2)
+                               workers=2, _force_pool=True)
     assert serial == parallel
     assert serial[0] == list("hello_world_0_sample_text")

@@ -77,12 +77,16 @@ def _phonemize_one(text: str):
 
 
 def phonemize_texts(texts, *, language: str, backend: str, workers: int,
-                    serial_tokenizer=None):
+                    serial_tokenizer=None, _force_pool: bool = False):
     """Tokenize ``texts`` -> list of token lists, fanning out over
     ``workers`` processes when workers > 1 (identical output to serial:
     pinned by tests/test_data.py::test_parallel_phonemize_matches_serial).
     """
-    if workers and workers > 1:
+    if workers and workers > 1 and (backend != "char" or _force_pool):
+        # char is grapheme splitting (~3k texts/s serial, measured
+        # benchmarks/bench_tokenize.py) — worker startup can never pay
+        # for it. The fan-out exists for espeak/pypinyin, whose per-text
+        # cost is orders of magnitude higher.
         import multiprocessing as mp
 
         ctx = mp.get_context("spawn")  # never fork a live TPU client

@@ -156,17 +156,18 @@ def valle_ar_decode(
 
         # grouped modes need B % 8 == 0; resolve the effective mode here so
         # cache rounding and kernel dispatch agree
-        if decode_kernel_mode in ("grouped", "int8_grouped",
-                                  "bf16_grouped") and B % 8 != 0:
+        if decode_kernel_mode in ("grouped", "int8_grouped", "bf16_grouped",
+                                  "lanes_grouped") and B % 8 != 0:
             decode_kernel_mode = "per_sample"
-        if decode_kernel_mode in ("fused_int8", "fused_kv",
-                                  "mega") and B % 8 != 0:
+        if decode_kernel_mode in ("fused_int8", "fused_kv", "mega",
+                                  "fused_lanes") and B % 8 != 0:
             decode_kernel_mode = "fused"
         if decode_kernel_mode != "fused":
             blk = (128 if decode_kernel_mode in ("grouped", "int8_grouped",
                                                  "fused_int8",
                                                  "bf16_grouped", "fused_kv",
-                                                 "mega")
+                                                 "mega", "lanes_grouped",
+                                                 "fused_lanes")
                    else BLOCK_K)
             cache_len = ((cache_len + blk - 1) // blk) * blk
 
@@ -202,6 +203,13 @@ def valle_ar_decode(
         from ..ops.decode_attention_kv import combine_kv
 
         cache = {"kv": combine_kv(cache["k"], cache["v"])}
+    elif use_decode_kernel and decode_kernel_mode in ("lanes_grouped",
+                                                      "fused_lanes"):
+        # lane-combined (L,B,T,H*2Dh) rows: contiguous kernel DMAs + a
+        # one-row write (see ops/decode_attention_lanes.py)
+        from ..ops.decode_attention_lanes import combine_kv_lanes
+
+        cache = {"kv": combine_kv_lanes(cache["k"], cache["v"])}
     elif use_decode_kernel and decode_kernel_mode in ("fused", "fused_w8"):
         pass  # fused dense kernels keep the natural (L,B,H,T,Dh) cache
     elif use_decode_kernel:
@@ -315,7 +323,8 @@ def valle_ar_decode(
                  and decode_kernel_mode not in ("int8_grouped", "grouped",
                                                 "per_sample", "fused_int8",
                                                 "bf16_grouped", "fused_kv",
-                                                "mega")
+                                                "mega", "lanes_grouped",
+                                                "fused_lanes")
                  and not kv_cache_int8)
     if segmented:
         bounds = []
@@ -676,8 +685,12 @@ def valle_inference(
             # token-exact valid-block combined-KV kernel, XLA dense path
             ar_kw = {"use_decode_kernel": True,
                      "decode_kernel_mode": "bf16_grouped"}
+        elif decode_mode == "lanes" and text.shape[0] % 8 == 0:
+            # token-exact contiguous-DMA lane-row kernel, XLA dense path
+            ar_kw = {"use_decode_kernel": True,
+                     "decode_kernel_mode": "lanes_grouped"}
         elif decode_mode in ("fused", "fused_int8", "fused_w8",
-                             "fused_kv", "mega"):
+                             "fused_kv", "mega", "fused_lanes"):
             # dense path (LN/QKV/out-proj/FFN) in weight-streaming Pallas
             # kernels; attention on the exact XLA path ("fused"/"fused_w8",
             # the latter with int8-quantized streamed weights) or the

@@ -791,8 +791,11 @@ def encoder_stack_decode_step(
     # attention INTO the dense-tail kernel (2 pallas_calls per layer,
     # ops/fused_attn_tail.py).
     kv_mode = mode in ("bf16_grouped", "fused_kv", "mega")
+    # lane-combined (B, T, H*2Dh) cache: contiguous-DMA kernel reads and
+    # a one-row write (ops/decode_attention_lanes.py)
+    lanes_mode = mode in ("lanes_grouped", "fused_lanes")
     fused_mode = mode in ("fused", "fused_int8", "fused_w8", "fused_kv",
-                          "mega")
+                          "mega", "fused_lanes")
     # int8-weight streaming: p["w8"] carries quantized stacked weights +
     # per-channel scales (see inference.quantize_decoder_weights)
     w8 = p.get("w8") if mode == "fused_w8" else None
@@ -803,7 +806,7 @@ def encoder_stack_decode_step(
         if int8_mode:
             h, ckv_all, sc_all = carry
             ck_all = cv_all = None
-        elif kv_mode:
+        elif kv_mode or lanes_mode:
             h, ckv_all = carry
             sc_all = ck_all = cv_all = None
         else:
@@ -837,7 +840,20 @@ def encoder_stack_decode_step(
         k = _split_heads(k, nhead)
         v = _split_heads(v, nhead)
 
-        if kv_mode:
+        if lanes_mode:
+            from ..ops.decode_attention_lanes import (
+                decode_attention_lanes,
+                step_row_lanes,
+            )
+
+            row = step_row_lanes(k, v)                  # (B, 1, H*2Dh)
+            ckv_all = ckv_all.at[i, bidx, pos, :].set(
+                row[:, 0, :].astype(ckv_all.dtype))
+            x_lens, write_pos, S, interp, _ = kernel_ctx
+            out = decode_attention_lanes(
+                q, ckv_all[i], x_lens, write_pos, S=S, nhead=nhead,
+                group=8, interpret=interp)
+        elif kv_mode:
             kvc = jnp.concatenate([k, v], axis=-1)     # (B, H, 1, 2Dh)
             ckv_all = ckv_all.at[i, bidx, :, pos, :].set(
                 kvc[:, :, 0, :].astype(ckv_all.dtype))
@@ -847,7 +863,7 @@ def encoder_stack_decode_step(
                 from ..ops.fused_attn_tail import fused_attn_tail
 
                 h = fused_attn_tail(
-                    q, h[:, 0, :], ckv_all, x_lens, write_pos, i,
+                    q, h[:, 0, :], ckv_all[i], x_lens, write_pos, i,
                     p["layers"]["self_attn"]["out_w"],
                     lp["self_attn"]["out_b"],
                     lp["norm2"]["scale"], lp["norm2"]["bias"],
@@ -860,10 +876,13 @@ def encoder_stack_decode_step(
                 return (h, ckv_all)
             from ..ops.decode_attention_kv import decode_attention_kv
 
-            # stacked form: full (L,...) cache + layer index, so no
-            # per-layer (B,H,T,2Dh) slice materializes outside the kernel
+            # SLICED per-layer cache operand (the int8 kernel's proven
+            # pattern): round-3 measured the stacked (L,...) form at
+            # ~2.8 ms/LAYER on-chip — the full 805 MB stack appears to be
+            # re-materialized per pallas_call — while the static leading
+            # slice aliases cleanly (BASELINE.md round-3 notes)
             out = decode_attention_kv(
-                q, ckv_all, x_lens, write_pos, i, S=S, group=8,
+                q, ckv_all[i], x_lens, write_pos, S=S, group=8,
                 interpret=interp)
         elif int8_mode:
             from ..ops.decode_attention_int8_grouped import (
@@ -940,7 +959,7 @@ def encoder_stack_decode_step(
                 interpret=kernel_ctx[3])[:, None, :]
             if int8_mode:
                 return (h, ckv_all, sc_all)
-            if kv_mode:
+            if kv_mode or lanes_mode:
                 return (h, ckv_all)
             return (h, ck_all, cv_all)
         out_w = lp["self_attn"]["out_w"] if dtype is None else (
@@ -961,13 +980,13 @@ def encoder_stack_decode_step(
                 deterministic=True, dtype=dtype), None)
         if int8_mode:
             return (h, ckv_all, sc_all)
-        if kv_mode:
+        if kv_mode or lanes_mode:
             return (h, ckv_all)
         return (h, ck_all, cv_all)
 
     if int8_mode:
         init = (x, cache["kv"], cache["scale"])
-    elif kv_mode:
+    elif kv_mode or lanes_mode:
         init = (x, cache["kv"])
     else:
         init = (x, cache["k"], cache["v"])
@@ -982,6 +1001,6 @@ def encoder_stack_decode_step(
         h = apply_norm(p["final_norm"], h, None)
     if int8_mode:
         return h, {"kv": carry[1], "scale": carry[2]}
-    if kv_mode:
+    if kv_mode or lanes_mode:
         return h, {"kv": carry[1]}
     return h, {"k": carry[1], "v": carry[2]}

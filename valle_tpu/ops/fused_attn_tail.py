@@ -110,9 +110,12 @@ def _kernel(x_lens_ref, wp_ref, l_ref, q_ref, r_ref, ob_ref, lns_ref,
             cp.start() if start else cp.wait()
 
         def dma_kv(slot, bg, blk, start):
+            # kv_hbm is the SLICED per-layer (B, H, T, 2Dh) cache — the
+            # stacked (L, ...) operand measured ~2.8 ms/layer of
+            # re-materialization per pallas_call (BASELINE.md round 3)
             for g in range(G):
                 cp = pltpu.make_async_copy(
-                    kv_hbm.at[l, bg * G + g, :, pl.ds(blk * bk, bk), :],
+                    kv_hbm.at[bg * G + g, :, pl.ds(blk * bk, bk), :],
                     kvbuf.at[slot, :, pl.ds(g * bk, bk), :],
                     kvsems.at[slot, g])
                 cp.start() if start else cp.wait()
@@ -275,16 +278,17 @@ def fused_attn_tail(q, h_res, kv_cache, x_lens, write_pos, layer,
                     S: int, group: int = 8, activation: str = "relu",
                     interpret: bool = False):
     """q (B, H, 1, Dh); h_res (B, D) layer input (residual);
-    kv_cache (L, B, H, T, 2Dh) in the compute dtype with the current
-    step's k/v ALREADY written at ``write_pos`` (K lanes 0:Dh, V lanes
-    Dh:2Dh); out_w (L, D, D), w1 (L, D, F), w2 (L, F, D) stacked in HBM;
+    kv_cache: the PER-LAYER (B, H, T, 2Dh) cache slice in the compute
+    dtype with the current step's k/v ALREADY written at ``write_pos``
+    (K lanes 0:Dh, V lanes Dh:2Dh); out_w (L, D, D), w1 (L, D, F),
+    w2 (L, F, D) stacked in HBM with ``layer`` selecting the slice;
     biases / LN params are the per-layer slices. Returns the layer
     output (B, D). Requires B % group == 0 and T % bk == 0."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, _, Dh = q.shape
-    _, _, _, T, _ = kv_cache.shape
+    _, _, T, _ = kv_cache.shape
     D = h_res.shape[-1]
     F = w1.shape[-1]
     G = group
