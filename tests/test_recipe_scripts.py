@@ -43,7 +43,7 @@ def test_ljspeech_prepare_sh(tmp_path):
                text_extractor="char", data_dir=str(data_dir))
     proc = subprocess.run(
         ["bash", str(REPO / "egs/ljspeech/prepare.sh")],
-        env=env, capture_output=True, text=True, timeout=500)
+        env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "Cuts count: 12" in proc.stdout
 
@@ -87,7 +87,7 @@ def test_libritts_prepare_sh(tmp_path):
                train_parts="train-clean-100")
     proc = subprocess.run(
         ["bash", str(REPO / "egs/libritts/prepare.sh")],
-        env=env, capture_output=True, text=True, timeout=500)
+        env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stdout + proc.stderr
 
     from valle_tpu.data.manifests import CutSet
@@ -121,7 +121,7 @@ def test_aishell1_prepare_sh(tmp_path):
                text_extractor="char", data_dir=str(data_dir))
     proc = subprocess.run(
         ["bash", str(REPO / "egs/aishell1/prepare.sh")],
-        env=env, capture_output=True, text=True, timeout=500)
+        env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stdout + proc.stderr
 
     from valle_tpu.data.manifests import CutSet

@@ -196,7 +196,7 @@ def valle_ar_decode(
         cache = {"kv": combine_kv_int8(kq, vq),
                  "scale": stack_scales(ksc, vsc)}
     elif use_decode_kernel and decode_kernel_mode in ("bf16_grouped",
-                                                      "fused_kv", "mega"):
+                                                      "fused_kv"):
         # combined (L,B,H,T,2Dh) KV in the compute dtype, natural layout:
         # cheap sublane writes + the token-exact valid-block kernel
         # (see ops/decode_attention_kv.py)
@@ -204,7 +204,8 @@ def valle_ar_decode(
 
         cache = {"kv": combine_kv(cache["k"], cache["v"])}
     elif use_decode_kernel and decode_kernel_mode in ("lanes_grouped",
-                                                      "fused_lanes"):
+                                                      "fused_lanes",
+                                                      "mega"):
         # lane-combined (L,B,T,H*2Dh) rows: contiguous kernel DMAs + a
         # one-row write (see ops/decode_attention_lanes.py)
         from ..ops.decode_attention_lanes import combine_kv_lanes

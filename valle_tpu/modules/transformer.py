@@ -790,10 +790,12 @@ def encoder_stack_decode_step(
     # as the int8 path, no quantization. "mega" additionally merges the
     # attention INTO the dense-tail kernel (2 pallas_calls per layer,
     # ops/fused_attn_tail.py).
-    kv_mode = mode in ("bf16_grouped", "fused_kv", "mega")
+    kv_mode = mode in ("bf16_grouped", "fused_kv")
     # lane-combined (B, T, H*2Dh) cache: contiguous-DMA kernel reads and
-    # a one-row write (ops/decode_attention_lanes.py)
-    lanes_mode = mode in ("lanes_grouped", "fused_lanes")
+    # a one-row write (ops/decode_attention_lanes.py). "mega" merges the
+    # attention INTO the dense-tail kernel on the same cache layout
+    # (2 pallas_calls per layer, ops/fused_attn_tail.py).
+    lanes_mode = mode in ("lanes_grouped", "fused_lanes", "mega")
     fused_mode = mode in ("fused", "fused_int8", "fused_w8", "fused_kv",
                           "mega", "fused_lanes")
     # int8-weight streaming: p["w8"] carries quantized stacked weights +
@@ -850,14 +852,6 @@ def encoder_stack_decode_step(
             ckv_all = ckv_all.at[i, bidx, pos, :].set(
                 row[:, 0, :].astype(ckv_all.dtype))
             x_lens, write_pos, S, interp, _ = kernel_ctx
-            out = decode_attention_lanes(
-                q, ckv_all[i], x_lens, write_pos, S=S, nhead=nhead,
-                group=8, interpret=interp)
-        elif kv_mode:
-            kvc = jnp.concatenate([k, v], axis=-1)     # (B, H, 1, 2Dh)
-            ckv_all = ckv_all.at[i, bidx, :, pos, :].set(
-                kvc[:, :, 0, :].astype(ckv_all.dtype))
-            x_lens, write_pos, S, interp, _ = kernel_ctx
             if mode == "mega":
                 # attention + out-proj + LN2 + FFN in ONE pallas_call
                 from ..ops.fused_attn_tail import fused_attn_tail
@@ -874,6 +868,14 @@ def encoder_stack_decode_step(
                     S=S, activation=activation,
                     interpret=interp)[:, None, :]
                 return (h, ckv_all)
+            out = decode_attention_lanes(
+                q, ckv_all[i], x_lens, write_pos, S=S, nhead=nhead,
+                group=8, interpret=interp)
+        elif kv_mode:
+            kvc = jnp.concatenate([k, v], axis=-1)     # (B, H, 1, 2Dh)
+            ckv_all = ckv_all.at[i, bidx, :, pos, :].set(
+                kvc[:, :, 0, :].astype(ckv_all.dtype))
+            x_lens, write_pos, S, interp, _ = kernel_ctx
             from ..ops.decode_attention_kv import decode_attention_kv
 
             # SLICED per-layer cache operand (the int8 kernel's proven

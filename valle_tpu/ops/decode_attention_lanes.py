@@ -118,27 +118,32 @@ def _kernel(x_lens_ref, wp_ref, q_ref, kv_hbm, o_ref, *, S, bk, G, H,
                 valid_f = valid_f * (1.0 - row_g * (1.0 - vg))
 
             for h in range(H):
-                # static 2Dh-lane window of the contiguous row buffer
-                KVh = kvbuf[slot, :, h * 2 * D:(h + 1) * 2 * D].astype(
-                    jnp.float32)                           # (G*bk, 2Dh)
-                Qh = q_ref[h].astype(jnp.float32)          # (G, Dh)
+                # static 2Dh-lane window of the contiguous row buffer.
+                # NO input up-cast: the MXU takes bf16 operands with fp32
+                # accumulation natively (preferred_element_type) — an
+                # .astype(f32) here converts the FULL buffer per head on
+                # the VPU (~64 MB/layer-call of pure overhead). fp32
+                # inputs still flow through identically (exactness tests
+                # run at fp32).
+                KVh = kvbuf[slot, :, h * 2 * D:(h + 1) * 2 * D]
+                Qh = q_ref[h]                              # (G, Dh)
                 Q2 = jnp.concatenate(
                     [Qh, jnp.zeros_like(Qh)], axis=1)      # (G, 2Dh)
                 s = jax.lax.dot_general(
                     Q2, KVh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # (G, G*bk)
+                    preferred_element_type=jnp.float32)    # (G, G*bk) f32
                 s = s * sm_scale
                 s = s * valid_f + (1.0 - valid_f) * NEG_INF
                 m_prev = m_scr[h]
                 m_new = jnp.maximum(
                     m_prev, jnp.max(s, axis=-1, keepdims=True))
-                p = jnp.exp(s - m_new)
+                p = jnp.exp(s - m_new)                     # f32
                 alpha = jnp.exp(m_prev - m_new)
                 l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=-1,
                                                       keepdims=True)
                 pv = jax.lax.dot_general(
-                    p, KVh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # (G, 2Dh)
+                    p.astype(KVh.dtype), KVh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (G, 2Dh) f32
                 acc_scr[h] = acc_scr[h] * alpha + pv[:, D:]
                 m_scr[h] = m_new
             return _

@@ -32,10 +32,10 @@ block loop computes — the overlap no multi-call composition can express.
 
 Weights stay STACKED (L, ...) in HBM; the layer index arrives as a
 scalar-prefetch argument (works unchanged under an unrolled or fori_loop
-layer loop). The KV cache is the full (L, B, H, T, 2Dh) stack in ANY
-memory space; the per-step write stays the natural-layout sublane DUS in
-XLA before the call (the only cheap write — see the int8 module's
-failed-layout history).
+layer loop). The KV cache is the per-layer LANE-ROW slice
+(B, T, H*2Dh) in ANY memory space (ops/decode_attention_lanes.py
+layout: contiguous per-sample block DMAs, one-row DUS write in XLA
+before the call).
 
 Exactness: same math as the XLA path (fp32 softmax and matmul
 accumulation, element-wise ops in the compute dtype); at fp32 the decode
@@ -110,13 +110,16 @@ def _kernel(x_lens_ref, wp_ref, l_ref, q_ref, r_ref, ob_ref, lns_ref,
             cp.start() if start else cp.wait()
 
         def dma_kv(slot, bg, blk, start):
-            # kv_hbm is the SLICED per-layer (B, H, T, 2Dh) cache — the
-            # stacked (L, ...) operand measured ~2.8 ms/layer of
-            # re-materialization per pallas_call (BASELINE.md round 3)
+            # kv_hbm is the SLICED per-layer lane-row cache (B, T, H*2Dh)
+            # — each copy is one CONTIGUOUS bk x lanes block (the layout
+            # that fixed the 2x DMA slowdown of the head-major cache;
+            # see ops/decode_attention_lanes.py). The stacked (L, ...)
+            # operand form measured ~2.8 ms/layer of per-call
+            # re-materialization and is gone (BASELINE.md round 3).
             for g in range(G):
                 cp = pltpu.make_async_copy(
-                    kv_hbm.at[bg * G + g, :, pl.ds(blk * bk, bk), :],
-                    kvbuf.at[slot, :, pl.ds(g * bk, bk), :],
+                    kv_hbm.at[bg * G + g, pl.ds(blk * bk, bk), :],
+                    kvbuf.at[slot, pl.ds(g * bk, bk), :],
                     kvsems.at[slot, g])
                 cp.start() if start else cp.wait()
 
@@ -164,9 +167,11 @@ def _kernel(x_lens_ref, wp_ref, l_ref, q_ref, r_ref, ob_ref, lns_ref,
                     valid_f = valid_f * (1.0 - row_g * (1.0 - vg))
 
                 for h in range(H):
-                    KVh = kvbuf[slot, h].astype(jnp.float32)  # (G*bk, 2Dh)
-                    Qh = q_ref[h, bg * G:(bg + 1) * G, :].astype(
-                        jnp.float32)                          # (G, Dh)
+                    # bf16 operands feed the MXU directly with fp32
+                    # accumulation — no full-buffer up-cast (see
+                    # decode_attention_lanes.py)
+                    KVh = kvbuf[slot, :, h * 2 * Dh:(h + 1) * 2 * Dh]
+                    Qh = q_ref[h, bg * G:(bg + 1) * G, :]     # (G, Dh)
                     Q2 = jnp.concatenate(
                         [Qh, jnp.zeros_like(Qh)], axis=1)     # (G, 2Dh)
                     s = jax.lax.dot_general(
@@ -182,7 +187,7 @@ def _kernel(x_lens_ref, wp_ref, l_ref, q_ref, r_ref, ob_ref, lns_ref,
                     l_scr[h] = l_scr[h] * alpha + jnp.sum(
                         p, axis=-1, keepdims=True)
                     pv = jax.lax.dot_general(
-                        p, KVh, (((1,), (0,)), ((), ())),
+                        p.astype(KVh.dtype), KVh, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)   # (G, 2Dh)
                     acc_scr[h] = acc_scr[h] * alpha + pv[:, Dh:]
                     m_scr[h] = m_new
@@ -254,7 +259,7 @@ def _kernel(x_lens_ref, wp_ref, l_ref, q_ref, r_ref, ob_ref, lns_ref,
     dt = r_ref.dtype
     pl.run_scoped(
         body,
-        kvbuf=pltpu.VMEM((2, H, GB, 2 * Dh), kv_hbm.dtype),
+        kvbuf=pltpu.VMEM((2, GB, 2 * Dh * H), kv_hbm.dtype),
         kvsems=pltpu.SemaphoreType.DMA((2, G)),
         colbuf=pltpu.VMEM((2, D, cw), ow_hbm.dtype),
         rowbuf=pltpu.VMEM((2, cw, D), w2_hbm.dtype),
@@ -278,9 +283,10 @@ def fused_attn_tail(q, h_res, kv_cache, x_lens, write_pos, layer,
                     S: int, group: int = 8, activation: str = "relu",
                     interpret: bool = False):
     """q (B, H, 1, Dh); h_res (B, D) layer input (residual);
-    kv_cache: the PER-LAYER (B, H, T, 2Dh) cache slice in the compute
-    dtype with the current step's k/v ALREADY written at ``write_pos``
-    (K lanes 0:Dh, V lanes Dh:2Dh); out_w (L, D, D), w1 (L, D, F),
+    kv_cache: the PER-LAYER lane-row cache slice (B, T, H*2Dh) in the
+    compute dtype with the current step's k/v ALREADY written at
+    ``write_pos`` (head h lanes [h*2Dh,(h+1)*2Dh) as [K_h | V_h] — see
+    ops/decode_attention_lanes.py); out_w (L, D, D), w1 (L, D, F),
     w2 (L, F, D) stacked in HBM with ``layer`` selecting the slice;
     biases / LN params are the per-layer slices. Returns the layer
     output (B, D). Requires B % group == 0 and T % bk == 0."""
@@ -288,7 +294,7 @@ def fused_attn_tail(q, h_res, kv_cache, x_lens, write_pos, layer,
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, _, Dh = q.shape
-    _, _, T, _ = kv_cache.shape
+    _, T, _ = kv_cache.shape
     D = h_res.shape[-1]
     F = w1.shape[-1]
     G = group
