@@ -66,7 +66,8 @@ class Synthesizer:
         self.mesh = mesh
         if mesh is not None:
             if decode_mode in ("int8", "fused", "fused_int8", "fused_w8",
-                               "auto"):
+                               "bf16", "fused_kv", "lanes", "fused_lanes",
+                               "mega", "auto"):
                 raise ValueError(
                     f"decode_mode='{decode_mode}' is single-device (Pallas "
                     "custom calls do not partition); use 'exact' or "
@@ -87,7 +88,10 @@ class Synthesizer:
         # "exact" | "unroll" (token-exact) | "fused" (token-exact, Pallas
         # dense path) | "fused_w8" (int8-quantized streamed weights) |
         # "int8" | "fused_int8" (fastest at long caches; int8 KV cache,
-        # needs batch % 8 == 0) | "auto" (fused/int8 by request shape —
+        # needs batch % 8 == 0) | "bf16"/"fused_kv"/"lanes"/"fused_lanes"
+        # /"mega" (token-exact Pallas attention-kernel modes, batch % 8
+        # == 0; see models.inference.valle_inference) | "auto"
+        # (fused/int8 by request shape —
         # see models.inference.resolve_auto_decode_mode)
         self.decode_mode = decode_mode
         # EnCodec decoder precision. Serving defaults to bfloat16 to match
