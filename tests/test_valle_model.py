@@ -162,3 +162,62 @@ def test_inference_respects_gen_lens():
     gl = int(gen_lens[0])
     if gl < G:
         assert bool(jnp.all(codes[0, gl:, 0] == 0))
+
+
+def test_resolve_remat_policy():
+    """--remat auto maps to the measured per-stage optimum
+    (bench_train_stage.py / BASELINE.md round-3 rows)."""
+    from valle_tpu.models import get_model, resolve_remat
+
+    assert resolve_remat("auto", 1) == "full"
+    assert resolve_remat("auto", 0) == "full"
+    assert resolve_remat("auto", 2) == "none"
+    assert resolve_remat("dots", 2) == "dots"
+    with pytest.raises(ValueError):
+        resolve_remat("bogus", 1)
+
+    class P:
+        model_name = "valle"
+        decoder_dim = 32
+        nhead = 2
+        num_decoder_layers = 2
+        norm_first = True
+        add_prenet = False
+        prefix_mode = 1
+        share_embedding = True
+        scale_factor = 1.0
+        prepend_bos = False
+        num_quantizers = 8
+        remat = "auto"
+        train_stage = 2
+
+    assert get_model(P()).cfg.remat == "none"
+    P.train_stage = 1
+    assert get_model(P()).cfg.remat == "full"
+
+
+@pytest.mark.parametrize("remat", ["none", "dots"])
+def test_remat_policy_value_parity(remat):
+    """Remat is a schedule choice, not a math change: training losses and
+    gradients under "none"/"dots" match "full" to fp32 round-off."""
+    cfg_full = tiny_cfg(remat="full")
+    cfg_alt = tiny_cfg(remat=remat)
+    params, _ = init_valle(jax.random.PRNGKey(0), cfg_full)
+    batch = make_batch(jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(2)
+
+    def loss_fn(p, cfg):
+        # deterministic=False so remat is live (training = not
+        # deterministic); the shared rng keeps dropout masks identical.
+        loss, _, _ = valle_forward(p, cfg, batch, train_stage=1, rng=rng,
+                                   deterministic=False)
+        return loss
+
+    l_full, g_full = jax.value_and_grad(lambda p: loss_fn(p, cfg_full))(params)
+    l_alt, g_alt = jax.value_and_grad(lambda p: loss_fn(p, cfg_alt))(params)
+    np.testing.assert_allclose(np.asarray(l_full), np.asarray(l_alt),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                    jax.tree_util.tree_leaves(g_alt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)

@@ -63,6 +63,34 @@ def add_model_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--scaling-xformers", type=str2bool, default=False,
                         help="Apply the scaling-transformer variant "
                              "(Transformer model only).")
+    parser.add_argument("--remat", type=str, default="auto",
+                        help="Training rematerialization policy: auto | "
+                             "full | dots | none. 'auto' picks the measured "
+                             "per-stage optimum (bench_train_stage.py, "
+                             "BASELINE.md): 'none' for the NAR stage "
+                             "(--train-stage 2, +19%% step throughput at "
+                             "max-duration-40 shapes) and 'full' otherwise "
+                             "(AR at max-duration 80 OOMs without full "
+                             "remat). If a larger NAR batch OOMs, fall "
+                             "back to --remat full.")
+
+
+def resolve_remat(remat: str, train_stage: int) -> str:
+    """Resolve the ``--remat`` policy, mapping "auto" to the measured
+    per-stage optimum (``benchmarks/bench_train_stage.py``, BASELINE.md):
+
+    - NAR stage (``train_stage == 2``): "none" — saving residuals wins
+      +19% step throughput (114.5 vs 136.2 ms/step) and fits at the
+      reference's max-duration-40 budget;
+    - AR stage / both-stages: "full" — the AR step at max-duration 80
+      OOMs without full remat on a 16 GB chip ("dots" is only
+      throughput-parity, so "full" stays the safe pick).
+    """
+    if remat == "auto":
+        return "none" if train_stage == 2 else "full"
+    if remat not in ("full", "dots", "none"):
+        raise ValueError(f"unknown remat policy {remat!r}")
+    return remat
 
 
 class ValleModel:
@@ -123,6 +151,8 @@ def get_model(params) -> "ValleModel":
     if name not in ("vall-e", "valle", "vall-f", "vallf"):
         raise ValueError(f"unknown model name {params.model_name!r}")
     cfg = ValleConfig(
+        remat=resolve_remat(getattr(params, "remat", "auto"),
+                            getattr(params, "train_stage", 0)),
         model_name="vallf" if "f" in name.replace("vall", "") else "valle",
         d_model=params.decoder_dim,
         nhead=params.nhead,
