@@ -221,3 +221,210 @@ class Synthesizer:
             out.append(SynthesisResult(
                 wav=wavs[i, : n * 320], codes=codes[i, :n], frames=n))
         return out
+
+
+class ContinuousBatcher:
+    """Continuous-batching TTS server loop (slot recycling).
+
+    `Synthesizer.synthesize` holds every request in a batch until the
+    LONGEST generation finishes; with realistic utterance-length variance
+    the average lane idles a large fraction of its steps. This scheduler
+    keeps a fixed table of decode slots and, whenever a lane emits EOS,
+    installs the next queued request into that slot mid-flight — no
+    recompilation (all shapes static: one prefill, one install, one
+    chunk program for the server's lifetime; see models/cb_decode.py).
+
+    Finished AR sequences are refined in NAR groups of ``slots`` and
+    decoded to wav through the standard EnCodec path, so results are
+    bit-identical to `Synthesizer` under greedy decoding (tested).
+
+    Usage:
+        cb = ContinuousBatcher(model, params, tok, collater, audio_tok,
+                               slots=8, text_pad=64, max_gen_len=512)
+        results = cb.run([SynthesisRequest(...), ...])
+    """
+
+    def __init__(self, model, params, text_tokenizer, text_collater,
+                 audio_tokenizer, *, slots: int = 8, text_pad: int = 64,
+                 prompt_pad: int = 256, max_gen_len: int = 512,
+                 chunk: int = 64, top_k: int = -100,
+                 temperature: float = 1.0, compute_dtype=None,
+                 seed: int = 0, model_state=None,
+                 codec_dtype: Optional[str] = None,
+                 unroll_layers: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        cfg = model.cfg
+        assert cfg.model_name == "valle", "continuous batching targets VALLE"
+        self.model = model
+        self.params = params
+        self.model_state = model_state
+        self.text_tokenizer = text_tokenizer
+        self.text_collater = text_collater
+        self.audio_tokenizer = audio_tokenizer
+        self.slots = slots
+        self.text_pad = text_pad
+        self.prompt_pad = prompt_pad
+        self.max_gen_len = max_gen_len
+        self.chunk = chunk
+        self.top_k = top_k
+        self.temperature = temperature
+        self.compute_dtype = compute_dtype or jnp.bfloat16
+        self.codec_dtype = codec_dtype or "bfloat16"
+        self.unroll_layers = unroll_layers
+        bos = int(cfg.prepend_bos)
+        self.cache_len = text_pad + bos + prompt_pad + max_gen_len + 1
+        self._rng = jax.random.PRNGKey(seed)
+
+    # -- per-request preprocessing (fixed shapes) ---------------------------
+    def _prep_one(self, r: SynthesisRequest):
+        from .data.tokenizer import tokenize_audio, tokenize_text
+
+        full = f"{r.prompt_text} {r.text}".strip()
+        toks = tokenize_text(self.text_tokenizer, full)
+        if len(toks) + 2 > self.text_pad:
+            raise ValueError(
+                f"text ({len(toks)} tokens) exceeds text_pad="
+                f"{self.text_pad}; raise text_pad")
+        text_ids, text_lens = self.text_collater.index(
+            [toks], pad_to=self.text_pad)
+        enroll = (len(tokenize_text(self.text_tokenizer, r.prompt_text)) + 2
+                  if r.prompt_text else 2)
+        if r.prompt_codes is not None:
+            pc = np.asarray(r.prompt_codes, np.int32)
+        elif r.prompt_wav:
+            pc = tokenize_audio(self.audio_tokenizer, r.prompt_wav)[0]
+        else:
+            pc = np.zeros((0, self.model.cfg.num_quantizers), np.int32)
+        pc = pc[: self.prompt_pad]
+        prompts = np.zeros((1, self.prompt_pad, pc.shape[1]), np.int32)
+        prompts[0, : pc.shape[0]] = pc
+        return {
+            "text": np.asarray(text_ids, np.int32),
+            "text_len": int(text_lens[0]),
+            "prompts": prompts,
+            "p_len": pc.shape[0],
+            "enroll_len": enroll,
+        }
+
+    # -- main entry ---------------------------------------------------------
+    def run(self, reqs: Sequence[SynthesisRequest],
+            progress: bool = False) -> List[SynthesisResult]:
+        """Serve all requests through the slot table; returns results in
+        submission order."""
+        import jax
+        import jax.numpy as jnp
+
+        from .models.cb_decode import (
+            cb_decode_chunk,
+            cb_install,
+            cb_prefill,
+            cb_state_init,
+        )
+
+        if not reqs:
+            return []
+        cfg = self.model.cfg
+        bos = int(cfg.prepend_bos)
+        queue = [(i, self._prep_one(r)) for i, r in enumerate(reqs)]
+        queue.reverse()                      # pop() serves FIFO
+        self._rng, rng0 = jax.random.split(self._rng)
+        st = cb_state_init(cfg, slots=self.slots, cache_len=self.cache_len,
+                           max_gen_len=self.max_gen_len, rng=rng0,
+                           compute_dtype=self.compute_dtype)
+        occupant = [None] * self.slots       # queue entry per slot
+        finished = {}                        # req idx -> (q0 (G,), n)
+
+        def install(slot, entry):
+            _, rec = entry
+            k1, v1, lg0 = cb_prefill(
+                self.params, cfg, jnp.asarray(rec["text"]),
+                jnp.asarray([rec["text_len"]]),
+                jnp.asarray(rec["prompts"][..., 0]),
+                jnp.asarray([rec["p_len"]]),
+                cache_len=self.cache_len, compute_dtype=self.compute_dtype,
+                state=self.model_state)
+            occupant[slot] = entry
+            return cb_install(st, jnp.int32(slot), k1, v1, lg0,
+                              rec["text_len"], rec["p_len"] + bos)
+
+        for slot in range(self.slots):
+            if queue:
+                st = install(slot, queue.pop())
+        while any(o is not None for o in occupant):
+            st = cb_decode_chunk(
+                self.params, st, self.temperature, cfg=cfg,
+                S=self.text_pad, K=self.chunk, top_k=self.top_k,
+                compute_dtype=self.compute_dtype,
+                unroll_layers=self.unroll_layers)
+            done = np.asarray(st["done"])
+            if not any(done[s] for s in range(self.slots)
+                       if occupant[s] is not None):
+                continue
+            gen_codes = np.asarray(st["gen_codes"])
+            gen_lens = np.asarray(st["gen_lens"])
+            for slot in range(self.slots):
+                if occupant[slot] is None or not done[slot]:
+                    continue
+                idx, rec = occupant[slot]
+                finished[idx] = (gen_codes[slot].copy(),
+                                 int(gen_lens[slot]), rec)
+                occupant[slot] = None
+                if queue:
+                    st = install(slot, queue.pop())
+            if progress:
+                logging.info("continuous: %d/%d finished, %d queued",
+                             len(finished), len(reqs), len(queue))
+        return self._finalize(finished)
+
+    # -- NAR + codec finishing ---------------------------------------------
+    def _finalize(self, finished) -> List[SynthesisResult]:
+        import jax.numpy as jnp
+
+        from .models.inference import trim_enrolled_text, valle_nar_decode
+
+        cfg = self.model.cfg
+        recs = {i: finished[i][2] for i in finished}
+        order = sorted(finished)
+        results = {}
+        group = self.slots
+        for lo in range(0, len(order), group):
+            idxs = order[lo: lo + group]
+            pad = group - len(idxs)
+            rows = idxs + [idxs[0]] * pad
+            text = np.concatenate([recs[i]["text"] for i in rows])
+            text_lens = np.asarray([recs[i]["text_len"] for i in rows],
+                                   np.int32)
+            prompts = np.concatenate([recs[i]["prompts"] for i in rows])
+            p_lens = np.asarray([recs[i]["p_len"] for i in rows], np.int32)
+            enr = np.asarray([recs[i]["enroll_len"] for i in rows], np.int32)
+            q0 = np.stack([finished[i][0] for i in rows])
+            g_lens = np.asarray([finished[i][1] for i in rows], np.int32)
+
+            if cfg.num_quantizers == 1:
+                codes = np.asarray(q0)[..., None]
+                wavs = self.audio_tokenizer.decode(codes,
+                                                   dtype=self.codec_dtype)
+                for j, i in enumerate(idxs):
+                    n = finished[i][1]
+                    results[i] = SynthesisResult(
+                        wav=wavs[j, : n * 320], codes=codes[j, :n],
+                        frames=n)
+                continue
+            ntext, nlens = jnp.asarray(text), jnp.asarray(text_lens)
+            if cfg.prefix_mode in (2, 4):
+                ntext, nlens = trim_enrolled_text(
+                    ntext, nlens, jnp.asarray(enr))
+            codes = valle_nar_decode(
+                self.params, cfg, ntext, nlens, jnp.asarray(prompts),
+                jnp.asarray(p_lens), jnp.asarray(q0), jnp.asarray(g_lens),
+                compute_dtype=self.compute_dtype, state=self.model_state)
+            wavs = self.audio_tokenizer.decode(np.asarray(codes),
+                                               dtype=self.codec_dtype)
+            codes = np.asarray(codes)
+            for j, i in enumerate(idxs):
+                n = finished[i][1]
+                results[i] = SynthesisResult(
+                    wav=wavs[j, : n * 320], codes=codes[j, :n], frames=n)
+        return [results[i] for i in sorted(results)]
