@@ -9,7 +9,8 @@ VERDICT round-2 gaps addressed:
   (models/valle.py remat policy, now cfg.remat);
 - the NAR attention's f32 S x S score materialization (2.4 GB/layer-pass,
   profile_nar.py) had no intermediate mitigation measured — bf16 scores
-  (VALLE_TPU_ATTN_SCORE_BF16=1) are benched here UNDER A LOSS-PARITY
+  (cfg.attn_score_bf16 / --attn-score-bf16; the scorebf16 arg here)
+  are benched here UNDER A LOSS-PARITY
   GUARD.
 
 Shapes mirror the reference recipe budgets: AR max-duration 80 s/batch
@@ -19,11 +20,10 @@ for fwd+bwd, remat recompute NOT credited) against the v5e bf16 peak of
 
 Usage:
   benchmarks/run_tpu.sh benchmarks/bench_train_stage.py [ar|nar]
-      [remat=full,dots,none] [scorebf16]
+      [remat=full,dots,none] [scorebf16 | score=f32,bf16]
 """
 
 import json
-import os
 import sys
 import time
 
@@ -45,9 +45,17 @@ def main():
     for a in args:
         if a.startswith("remat="):
             remats = a.split("=", 1)[1].split(",")
-    score_bf16 = "scorebf16" in args
-    if score_bf16:
-        os.environ["VALLE_TPU_ATTN_SCORE_BF16"] = "1"
+    # score materialization variants: "scorebf16" = bf16 only,
+    # "score=f32,bf16" = in-process A/B (cfg.attn_score_bf16 is a config
+    # field, so both variants compile side by side in ONE process — the
+    # A/B no longer crosses the session-variance boundary)
+    scores = [False]
+    for a in args:
+        if a.startswith("score="):
+            scores = [s in ("bf16", "on", "1")
+                      for s in a.split("=", 1)[1].split(",")]
+    if "scorebf16" in args:
+        scores = [True]
 
     import jax
     import jax.numpy as jnp
@@ -95,10 +103,11 @@ def main():
     rng = jax.random.key(0, impl="rbg")
     results = {}
     base_state = None
-    for remat in remats:
+    variants = [(r, s) for r in remats for s in scores]
+    for remat, score_bf16 in variants:
         cfg = ValleConfig(d_model=1024, nhead=16, num_layers=12,
                           prefix_mode=1, num_quantizers=8, max_len=4096,
-                          remat=remat)
+                          remat=remat, attn_score_bf16=score_bf16)
         state = init_train_state(jax.random.PRNGKey(0), cfg, opt)
         state = state._replace(params=jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)

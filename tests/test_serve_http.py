@@ -1,0 +1,131 @@
+"""HTTP serving CLI: request coalescing, wav/json responses, errors.
+
+The reference has no server (batch-1 CLI); correctness here is defined
+against the Synthesizer, which is parity-tested elsewhere.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+import wave
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from valle_tpu.bin.serve import ServingWorker, make_server, wav_bytes
+from valle_tpu.data import AudioTokenizer, TextTokenizer
+from valle_tpu.data.collation import TextTokenCollater
+from valle_tpu.models import ValleConfig, ValleModel
+from valle_tpu.serving import Synthesizer
+
+
+def test_wav_bytes_roundtrip():
+    audio = np.sin(np.linspace(0, 100, 2400)).astype(np.float32) * 0.5
+    blob = wav_bytes(audio, 24000)
+    with wave.open(io.BytesIO(blob)) as w:
+        assert w.getframerate() == 24000
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getnframes() == 2400
+        pcm = np.frombuffer(w.readframes(2400), "<i2")
+    np.testing.assert_allclose(pcm / 32767.0, audio, atol=2e-4)
+
+
+def _tiny_synth():
+    cfg = ValleConfig(d_model=32, nhead=2, num_layers=2, prefix_mode=1,
+                      num_quantizers=8, max_len=512, max_prefix_len=8)
+    model = ValleModel(cfg)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    return Synthesizer(
+        model, params, TextTokenizer(backend="char"),
+        TextTokenCollater(sorted(set("abcdefghijklmnopqrstuvwxyz_ "))),
+        AudioTokenizer(), top_k=5, max_gen_len=16,
+        compute_dtype=jnp.float32)
+
+
+def test_http_server_end_to_end():
+    synth = _tiny_synth()
+    calls = []
+
+    def synth_fn(reqs):
+        calls.append(len(reqs))
+        return synth.synthesize(reqs, max_gen_len=16)
+
+    server, worker = make_server(synth_fn, port=0, batch_window_ms=200,
+                                 info={"mode": "static"})
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # health
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        # three concurrent requests coalesce into one engine call
+        outs = {}
+
+        def post(i, body):
+            data = json.dumps(body).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/synthesize", data=data,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                outs[i] = (r.status, r.headers.get("Content-Type"),
+                           r.read())
+
+        threads = [threading.Thread(target=post, args=(i, {
+                       "text": txt,
+                       "prompt_codes": np.random.RandomState(i).randint(
+                           0, 1024, (5, 8)).tolist()}))
+                   for i, txt in enumerate(
+                       ("hello world", "second request", "third one"))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert sorted(outs) == [0, 1, 2]
+        for status, ctype, blob in outs.values():
+            assert status == 200 and ctype == "audio/wav"
+            with wave.open(io.BytesIO(blob)) as w:
+                assert w.getframerate() == 24000
+                assert w.getnframes() > 0
+        assert max(calls) > 1        # coalescing actually batched
+
+        # codes_only JSON response
+        data = json.dumps({"text": "hello", "codes_only": True}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize", data=data,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        assert body["frames"] == len(body["codes"])
+        assert all(len(row) == 8 for row in body["codes"])
+
+        # malformed request -> 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize", data=b'{"nope": 1}',
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        worker.stop()
+        server.server_close()
+
+
+def test_worker_surfaces_engine_errors():
+    def boom(reqs):
+        raise RuntimeError("engine exploded")
+
+    worker = ServingWorker(boom, batch_window_ms=1)
+    worker.start()
+    try:
+        res, err = worker.submit(object())
+        assert res is None and "engine exploded" in err
+    finally:
+        worker.stop()

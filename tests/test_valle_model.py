@@ -221,3 +221,33 @@ def test_remat_policy_value_parity(remat):
                     jax.tree_util.tree_leaves(g_alt)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_attn_score_bf16_policy_and_loss_parity():
+    """--attn-score-bf16 auto resolves per stage; at fp32 compute the flag
+    is inert (bitwise-equal losses); at bf16 compute the loss stays within
+    the loss-parity band measured on the chip (BASELINE.md round-3)."""
+    from valle_tpu.models import resolve_score_bf16
+
+    assert resolve_score_bf16("auto", 2) is True
+    assert resolve_score_bf16("auto", 1) is False
+    assert resolve_score_bf16("off", 2) is False
+    with pytest.raises(ValueError):
+        resolve_score_bf16("maybe", 2)
+
+    params, _ = init_valle(jax.random.PRNGKey(0), tiny_cfg())
+    batch = make_batch(jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(2)
+
+    def loss(cfg, dt):
+        l, _, _ = valle_forward(params, cfg, batch, train_stage=2, rng=rng,
+                                deterministic=False, compute_dtype=dt)
+        return float(l)
+
+    l_f32_off = loss(tiny_cfg(attn_score_bf16=False), jnp.float32)
+    l_f32_on = loss(tiny_cfg(attn_score_bf16=True), jnp.float32)
+    assert l_f32_off == l_f32_on          # inert at fp32
+
+    l_bf_off = loss(tiny_cfg(attn_score_bf16=False), jnp.bfloat16)
+    l_bf_on = loss(tiny_cfg(attn_score_bf16=True), jnp.bfloat16)
+    np.testing.assert_allclose(l_bf_on, l_bf_off, rtol=2e-2)

@@ -1,0 +1,249 @@
+#!/usr/bin/env python3
+"""HTTP zero-shot TTS server: batched (and continuous-batched) serving.
+
+The reference has no serving path at all — its inference is a batch-1
+CLI (``/root/reference/valle/models/valle.py:989`` asserts B == 1). This
+CLI exposes the batched `Synthesizer` / slot-recycling `ContinuousBatcher`
+over plain HTTP (stdlib only, no extra dependencies):
+
+    python3 -m valle_tpu.bin.serve \\
+        --checkpoint exp/valle/best-valid-loss \\
+        --text-tokens data/tokenized/unique_text_tokens.k2symbols \\
+        --port 8080 --mode continuous --slots 8
+
+    POST /synthesize  {"text": "...", "prompt_text": "...",
+                       "prompt_wav": "/path/on/server.wav"}
+                      -> audio/wav bytes (24 kHz mono PCM16)
+       (add "codes_only": true for a JSON {codes, frames} response)
+    GET  /healthz     -> {"status": "ok", ...}
+
+Concurrent requests are coalesced by a single worker: it drains the
+queue every --batch-window-ms and runs one batched synthesis, so the
+model amortizes across simultaneous callers; --mode continuous serves
+the drained group through the slot recycler (throughput tracks the mean
+generation length instead of the batch max — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import queue
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def wav_bytes(audio: np.ndarray, sample_rate: int = 24000) -> bytes:
+    """Minimal RIFF/PCM16 container for an HTTP response body."""
+    pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ",
+        16, 1, 1, sample_rate, sample_rate * 2, 2, 16, b"data", len(pcm))
+    return hdr + pcm
+
+
+class ServingWorker(threading.Thread):
+    """Coalesces queued requests into batches and runs the engine."""
+
+    def __init__(self, synth_fn, *, batch_window_ms: float = 50.0,
+                 max_batch: int = 32):
+        super().__init__(daemon=True)
+        self.synth_fn = synth_fn
+        self.batch_window = batch_window_ms / 1e3
+        self.max_batch = max_batch
+        self.inbox = queue.Queue()
+        self._stop = threading.Event()
+
+    def submit(self, req):
+        """Blocking submit: returns (result, error)."""
+        ev = threading.Event()
+        holder = {}
+        self.inbox.put((req, ev, holder))
+        ev.wait()
+        return holder.get("result"), holder.get("error")
+
+    def stop(self):
+        self._stop.set()
+        self.inbox.put(None)          # wake the worker
+
+    def run(self):
+        while not self._stop.is_set():
+            item = self.inbox.get()
+            if item is None:
+                continue
+            batch = [item]
+            # coalesce: wait one window, then drain up to max_batch
+            deadline = self.batch_window
+            while len(batch) < self.max_batch:
+                try:
+                    nxt = self.inbox.get(timeout=deadline)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                batch.append(nxt)
+                deadline = 0.005      # drain whatever else is in flight
+            reqs = [b[0] for b in batch]
+            try:
+                results = self.synth_fn(reqs)
+                errors = [None] * len(batch)
+                if len(results) != len(batch):   # never hang a client
+                    raise RuntimeError(
+                        f"engine returned {len(results)} results for "
+                        f"{len(batch)} requests")
+            except Exception as e:   # surface per-request
+                logging.exception("synthesis failed")
+                results = [None] * len(batch)
+                errors = [str(e)] * len(batch)
+            for (req, ev, holder), res, err in zip(batch, results, errors):
+                holder["result"], holder["error"] = res, err
+                ev.set()
+
+
+def make_handler(worker: ServingWorker, info: dict):
+    from ..serving import SynthesisRequest
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):   # route through logging
+            logging.info("%s " + fmt, self.client_address[0], *args)
+
+        def _reply(self, code, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/healthz", "/"):
+                self._reply(200, json.dumps(
+                    {"status": "ok", **info}).encode(), "application/json")
+            else:
+                self._reply(404, b"{}", "application/json")
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._reply(404, b"{}", "application/json")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                req = SynthesisRequest(
+                    text=body["text"],
+                    prompt_text=body.get("prompt_text", ""),
+                    prompt_wav=body.get("prompt_wav"),
+                    prompt_codes=(np.asarray(body["prompt_codes"], np.int32)
+                                  if body.get("prompt_codes") is not None
+                                  else None))
+            except Exception as e:
+                self._reply(400, json.dumps(
+                    {"error": f"bad request: {e}"}).encode(),
+                    "application/json")
+                return
+            result, err = worker.submit(req)
+            if err is not None or result is None:
+                self._reply(500, json.dumps(
+                    {"error": err or "internal"}).encode(),
+                    "application/json")
+                return
+            if body.get("codes_only"):
+                self._reply(200, json.dumps(
+                    {"frames": result.frames,
+                     "codes": result.codes.tolist()}).encode(),
+                    "application/json")
+            else:
+                self._reply(200, wav_bytes(np.asarray(result.wav)),
+                            "audio/wav")
+
+    return Handler
+
+
+def make_server(synth_fn, *, host="127.0.0.1", port=0,
+                batch_window_ms=50.0, max_batch=32, info=None):
+    """Build (server, worker); worker is started, server is not yet
+    serving — call ``server.serve_forever()`` (tests drive it from a
+    thread)."""
+    worker = ServingWorker(synth_fn, batch_window_ms=batch_window_ms,
+                           max_batch=max_batch)
+    worker.start()
+    server = ThreadingHTTPServer((host, port),
+                                 make_handler(worker, info or {}))
+    return server, worker
+
+
+def get_parser():
+    parser = argparse.ArgumentParser(description="HTTP TTS server")
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--text-tokens", type=str, default="")
+    parser.add_argument("--text-backend", type=str, default="espeak")
+    parser.add_argument("--encodec-weights", type=str, default=None)
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--mode", type=str, default="static",
+                        help="static (Synthesizer) | continuous "
+                             "(ContinuousBatcher slot recycling)")
+    parser.add_argument("--decode-mode", type=str, default="auto",
+                        help="static mode only; see Synthesizer")
+    parser.add_argument("--slots", type=int, default=8,
+                        help="continuous mode: decode slot count")
+    parser.add_argument("--text-pad", type=int, default=128,
+                        help="continuous mode: static text width")
+    parser.add_argument("--chunk", type=int, default=64,
+                        help="continuous mode: decode steps per host sync")
+    parser.add_argument("--batch-window-ms", type=float, default=50.0)
+    parser.add_argument("--max-batch", type=int, default=32)
+    parser.add_argument("--max-gen-len", type=int, default=1024)
+    parser.add_argument("--top-k", type=int, default=-100)
+    parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--codec-dtype", type=str, default="bfloat16")
+    return parser
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    args = get_parser().parse_args()
+
+    from ..bin.infer import load_model
+    from ..data import AudioTokenizer, TextTokenizer
+    from ..data.collation import get_text_token_collater
+    from ..serving import ContinuousBatcher, Synthesizer
+
+    model, params, state, ckpt_tokens = load_model(args.checkpoint)
+    tok = TextTokenizer(backend=args.text_backend)
+    collater = get_text_token_collater(args.text_tokens or ckpt_tokens)
+    audio_tok = AudioTokenizer(weights_path=args.encodec_weights)
+    common = dict(model_state=state, top_k=args.top_k,
+                  temperature=args.temperature,
+                  max_gen_len=args.max_gen_len,
+                  codec_dtype=args.codec_dtype)
+    if args.mode == "continuous":
+        engine = ContinuousBatcher(
+            model, params, tok, collater, audio_tok, slots=args.slots,
+            text_pad=args.text_pad, chunk=args.chunk, **common)
+        synth_fn = engine.run
+    else:
+        engine = Synthesizer(model, params, tok, collater, audio_tok,
+                             decode_mode=args.decode_mode, **common)
+        synth_fn = engine.synthesize
+
+    server, worker = make_server(
+        synth_fn, host=args.host, port=args.port,
+        batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
+        info={"mode": args.mode, "model": model.cfg.model_name})
+    logging.info("serving on %s:%d (%s mode)", args.host,
+                 server.server_address[1], args.mode)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        worker.stop()
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,14 @@ def add_model_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--scaling-xformers", type=str2bool, default=False,
                         help="Apply the scaling-transformer variant "
                              "(Transformer model only).")
+    parser.add_argument("--attn-score-bf16", type=str, default="auto",
+                        help="bf16 score materialization in training "
+                             "attention: auto | on | off. Only engages "
+                             "for bf16 compute. 'auto' enables it for "
+                             "the NAR stage (+21%% measured step "
+                             "throughput, loss-parity guarded; "
+                             "BASELINE.md round-3) and disables it "
+                             "elsewhere.")
     parser.add_argument("--remat", type=str, default="auto",
                         help="Training rematerialization policy: auto | "
                              "full | dots | none. 'auto' picks the measured "
@@ -73,6 +81,20 @@ def add_model_arguments(parser: argparse.ArgumentParser) -> None:
                              "(AR at max-duration 80 OOMs without full "
                              "remat). If a larger NAR batch OOMs, fall "
                              "back to --remat full.")
+
+
+def resolve_score_bf16(mode: str, train_stage: int) -> bool:
+    """Resolve ``--attn-score-bf16``: "auto" enables bf16 score
+    materialization only for the NAR stage, where the S x S score traffic
+    dominates the step (measured +21% on top of remat="none";
+    bench_train_stage.py / BASELINE.md round-3). Inert at fp32 compute."""
+    if mode == "auto":
+        return train_stage == 2
+    if mode in ("on", "1", "true"):
+        return True
+    if mode in ("off", "0", "false"):
+        return False
+    raise ValueError(f"unknown attn-score-bf16 mode {mode!r}")
 
 
 def resolve_remat(remat: str, train_stage: int) -> str:
@@ -153,6 +175,9 @@ def get_model(params) -> "ValleModel":
     cfg = ValleConfig(
         remat=resolve_remat(getattr(params, "remat", "auto"),
                             getattr(params, "train_stage", 0)),
+        attn_score_bf16=resolve_score_bf16(
+            getattr(params, "attn_score_bf16", "auto"),
+            getattr(params, "train_stage", 0)),
         model_name="vallf" if "f" in name.replace("vall", "") else "valle",
         d_model=params.decoder_dim,
         nhead=params.nhead,

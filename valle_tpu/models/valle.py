@@ -68,6 +68,13 @@ class ValleConfig:
     # element-wise ops recomputed), "none" (save all residuals).
     # Measured A/Bs in BASELINE.md (bench_train_stage.py).
     remat: str = "full"
+    # bf16 score/probability materialization for TRAINING attention (only
+    # engages for bf16 compute with dropout; the score matmul still
+    # accumulates fp32 on the MXU). Halves the dominant S x S HBM traffic
+    # of the NAR step: measured +21% NAR step throughput on top of
+    # remat="none" (94.8 vs 114.5 ms/step, 30.3% MFU — BASELINE.md
+    # round-3). Default on for the NAR stage via --attn-score-bf16 auto.
+    attn_score_bf16: bool = False
 
     @property
     def nar_d_model(self) -> int:
@@ -370,7 +377,8 @@ def valle_forward(
             nhead=cfg.nhead, norm_first=cfg.norm_first,
             activation=cfg.activation, dropout_rate=cfg.dropout,
             rng=rngs[2], deterministic=deterministic, dtype=compute_dtype,
-            remat=(cfg.remat if training else False))
+            remat=(cfg.remat if training else False),
+        score_bf16=cfg.attn_score_bf16)
         logits = xy_dec[:, S:] @ params["ar"]["predict"]["w"].astype(
             xy_dec.dtype)  # (B, y_len_ar, V+1)
         # (prepend_bos: targets already include all y_len_ar positions)
@@ -560,7 +568,8 @@ def _nar_branch(params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
         nhead=cfg.nar_nhead, norm_first=cfg.norm_first,
         activation=cfg.activation, dropout_rate=cfg.dropout,
         rng=stack_rng, deterministic=deterministic, dtype=compute_dtype,
-        remat=(cfg.remat if training else False))
+        remat=(cfg.remat if training else False),
+        score_bf16=cfg.attn_score_bf16)
     y_dec = xy_dec[:, -T:]  # the y region is always the trailing T positions
 
     W = nar_predict_weights(params, cfg)  # (Q-1, nd, V)
@@ -636,7 +645,8 @@ def valle_ar_forward_packed(
         nhead=cfg.nhead, norm_first=cfg.norm_first,
         activation=cfg.activation, dropout_rate=cfg.dropout,
         rng=rngs[2], deterministic=deterministic, dtype=compute_dtype,
-        remat=(cfg.remat if training else False))
+        remat=(cfg.remat if training else False),
+        score_bf16=cfg.attn_score_bf16)
     S = text.shape[1]
     logits = xy_dec[:, S:] @ params["ar"]["predict"]["w"].astype(
         xy_dec.dtype)  # (B, T, V+1)
@@ -722,7 +732,8 @@ def _vallf_forward(params, cfg, batch, *, train_stage, rng, deterministic,
             nhead=cfg.nhead, norm_first=cfg.norm_first,
             activation=cfg.activation, dropout_rate=cfg.dropout,
             rng=rngs[2], deterministic=deterministic, dtype=compute_dtype,
-            remat=(cfg.remat if training else False))
+            remat=(cfg.remat if training else False),
+        score_bf16=cfg.attn_score_bf16)
         logits = y_dec @ params["ar"]["predict"]["w"].astype(y_dec.dtype)
         ar_loss = _cross_entropy_sum(logits, ar_targets)
         total_loss = total_loss + ar_loss
@@ -871,7 +882,8 @@ def _nar_branch_vallf(params, cfg, xn, x_lens, nar_y, codes, y_lens,
         nhead=cfg.nar_nhead, norm_first=cfg.norm_first,
         activation=cfg.activation, dropout_rate=cfg.dropout,
         rng=stack_rng, deterministic=deterministic, dtype=compute_dtype,
-        remat=(cfg.remat if training else False))
+        remat=(cfg.remat if training else False),
+        score_bf16=cfg.attn_score_bf16)
     y_dec = y_dec[:, -T:]
     W = nar_predict_weights(params, cfg)
     Wj = (W * jax.nn.one_hot(nar_stage - 1, cfg.num_quantizers - 1,

@@ -141,7 +141,8 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
 
 
-def _attend(q, k, v, bias, *, dropout_rate=0.0, rng=None, deterministic=True):
+def _attend(q, k, v, bias, *, dropout_rate=0.0, rng=None, deterministic=True,
+            score_bf16=None):
     """q,k,v: (B, H, T, Dh); bias broadcastable to (B, H, Tq, Tk).
 
     Deterministic calls (inference/NAR passes, prefill, validation) route
@@ -154,7 +155,9 @@ def _attend(q, k, v, bias, *, dropout_rate=0.0, rng=None, deterministic=True):
 
         return fused_attention(q, k, v, bias)
     dh = q.shape[-1]
-    sdt = (jnp.bfloat16 if SCORE_BF16 and q.dtype == jnp.bfloat16
+    if score_bf16 is None:
+        score_bf16 = SCORE_BF16   # env override for benches/experiments
+    sdt = (jnp.bfloat16 if score_bf16 and q.dtype == jnp.bfloat16
            else jnp.float32)
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -171,7 +174,7 @@ def _attend(q, k, v, bias, *, dropout_rate=0.0, rng=None, deterministic=True):
 
 
 def mha_self(p, x, bias, nhead, *, dropout_rate=0.0, rng=None,
-             deterministic=True, dtype=None):
+             deterministic=True, dtype=None, score_bf16=None):
     """Full-sequence self-attention. x: (B, T, D)."""
     in_w = p["in_w"] if dtype is None else p["in_w"].astype(dtype)
     in_b = p["in_b"] if dtype is None else p["in_b"].astype(dtype)
@@ -180,6 +183,7 @@ def mha_self(p, x, bias, nhead, *, dropout_rate=0.0, rng=None,
     out = _attend(
         _split_heads(q, nhead), _split_heads(k, nhead), _split_heads(v, nhead),
         bias, dropout_rate=dropout_rate, rng=rng, deterministic=deterministic,
+        score_bf16=score_bf16,
     )
     out = _merge_heads(out)
     out_w = p["out_w"] if dtype is None else p["out_w"].astype(dtype)
@@ -198,7 +202,7 @@ def mha_self_kv(p, x, nhead, dtype=None):
 
 
 def mha_cross(p, xq, mem_k, mem_v, bias, nhead, *, dropout_rate=0.0, rng=None,
-              deterministic=True, dtype=None):
+              deterministic=True, dtype=None, score_bf16=None):
     """Cross-attention with precomputed memory k/v (B, H, S, Dh)."""
     d = xq.shape[-1]
     in_w = p["in_w"] if dtype is None else p["in_w"].astype(dtype)
@@ -207,6 +211,7 @@ def mha_cross(p, xq, mem_k, mem_v, bias, nhead, *, dropout_rate=0.0, rng=None,
     out = _attend(
         _split_heads(q, nhead), mem_k, mem_v, bias,
         dropout_rate=dropout_rate, rng=rng, deterministic=deterministic,
+        score_bf16=score_bf16,
     )
     out = _merge_heads(out)
     out_w = p["out_w"] if dtype is None else p["out_w"].astype(dtype)
@@ -361,6 +366,7 @@ def _ffn(p, x, activation, *, dropout_rate, rng, deterministic, dtype):
 def encoder_layer_apply(
     p, x, bias, cond, *, nhead, norm_first=True, activation="relu",
     dropout_rate=0.0, rng=None, deterministic=True, dtype=None,
+    score_bf16=None,
 ):
     """One pre/post-norm encoder layer (reference transformer.py:296-308)."""
     if rng is not None:
@@ -371,7 +377,8 @@ def encoder_layer_apply(
     def sa(h):
         out = mha_self(p["self_attn"], h, bias, nhead,
                        dropout_rate=dropout_rate, rng=r_attn,
-                       deterministic=deterministic, dtype=dtype)
+                       deterministic=deterministic, dtype=dtype,
+                       score_bf16=score_bf16)
         return _dropout(out, dropout_rate, r_d1, deterministic)
 
     def ff(h):
@@ -391,7 +398,7 @@ def encoder_layer_apply(
 def decoder_layer_apply(
     p, x, mem_k, mem_v, self_bias, cross_bias, cond, *, nhead,
     norm_first=True, activation="relu", dropout_rate=0.0, rng=None,
-    deterministic=True, dtype=None,
+    deterministic=True, dtype=None, score_bf16=None,
 ):
     """Decoder layer with cross-attention (reference transformer.py:534-557)."""
     if rng is not None:
@@ -402,13 +409,15 @@ def decoder_layer_apply(
     def sa(h):
         out = mha_self(p["self_attn"], h, self_bias, nhead,
                        dropout_rate=dropout_rate, rng=r1,
-                       deterministic=deterministic, dtype=dtype)
+                       deterministic=deterministic, dtype=dtype,
+                       score_bf16=score_bf16)
         return _dropout(out, dropout_rate, r2, deterministic)
 
     def ca(h):
         out = mha_cross(p["cross_attn"], h, mem_k, mem_v, cross_bias, nhead,
                         dropout_rate=dropout_rate, rng=r3,
-                        deterministic=deterministic, dtype=dtype)
+                        deterministic=deterministic, dtype=dtype,
+                        score_bf16=score_bf16)
         return _dropout(out, dropout_rate, r4, deterministic)
 
     def ff(h):
@@ -467,6 +476,7 @@ def init_decoder_stack(rng, num_layers, d, nhead, dim_ff, adaptive,
 def encoder_stack_apply(
     p, x, bias, cond=None, *, nhead, norm_first=True, activation="relu",
     dropout_rate=0.0, rng=None, deterministic=True, dtype=None, remat=False,
+    score_bf16=None,
 ):
     """Run the scanned layer stack; returns (B, T, D)."""
     num_layers = jax.tree_util.tree_leaves(p["layers"])[0].shape[0]
@@ -478,6 +488,7 @@ def encoder_stack_apply(
             lp, h, bias, cond, nhead=nhead, norm_first=norm_first,
             activation=activation, dropout_rate=dropout_rate, rng=lrng,
             deterministic=deterministic, dtype=dtype,
+            score_bf16=score_bf16,
         )
         return h, None
 
@@ -507,7 +518,7 @@ def _apply_remat(body, remat):
 def decoder_stack_apply(
     p, x, memory, self_bias, cross_bias, cond=None, *, nhead,
     norm_first=True, activation="relu", dropout_rate=0.0, rng=None,
-    deterministic=True, dtype=None, remat=False,
+    deterministic=True, dtype=None, remat=False, score_bf16=None,
 ):
     """Cross-attending decoder stack (VALL-F). memory: (B, S, D)."""
     num_layers = jax.tree_util.tree_leaves(p["layers"])[0].shape[0]
@@ -521,6 +532,7 @@ def decoder_stack_apply(
             norm_first=norm_first, activation=activation,
             dropout_rate=dropout_rate, rng=lrng,
             deterministic=deterministic, dtype=dtype,
+            score_bf16=score_bf16,
         )
         return h, None
 
