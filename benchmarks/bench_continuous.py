@@ -100,6 +100,9 @@ def main():
                    "audio_s": round(audio_s, 1),
                    "rtf": round(audio_s / wall, 1),
                    "mean_frames": round(np.mean([r.frames for r in out]), 1)}
+            if name == "continuous":
+                rec.update({k: (round(v, 2) if isinstance(v, float) else v)
+                            for k, v in cb.last_stats.items()})
             tag = f"{name}_pass{it}"
             results[tag] = rec
             print(f"[{tag}] {json.dumps(rec)}", flush=True)

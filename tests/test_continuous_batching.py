@@ -17,6 +17,7 @@ from valle_tpu.models import ValleConfig, ValleModel
 from valle_tpu.models.cb_decode import (
     cb_decode_chunk,
     cb_install,
+    cb_install_many,
     cb_prefill,
     cb_state_init,
 )
@@ -131,6 +132,54 @@ def test_cb_slot_recycling_no_state_leak():
         got_c, got_l = out[i]
         assert int(ref_l[0]) == got_l
         np.testing.assert_array_equal(np.asarray(ref_c)[0], got_c)
+
+
+def test_cb_install_many_matches_sequential_installs():
+    """One batched install (with repeat-row-0 padding up to the fixed
+    width) leaves the slot table bit-identical to installing each
+    request through cb_install — including untouched slots."""
+    cfg = tiny_cfg()
+    params, _ = ValleModel(cfg).init(jax.random.PRNGKey(0))
+    S, P, G, slots = 12, 8, 16, 4
+    bos = int(cfg.prepend_bos)
+    cache_len = S + bos + P + G + 1
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    b = 2                                   # wave smaller than width
+    text = jax.random.randint(ks[0], (b, S), 0, 100)
+    text_lens = jnp.array([S, S - 4])
+    prompts = jax.random.randint(ks[1], (b, P), 0, 1024)
+    p_lens = jnp.array([P, P - 3])
+    kb, vb, lg0 = cb_prefill(params, cfg, text, text_lens, prompts,
+                             p_lens, cache_len=cache_len)
+
+    target = [3, 1]                         # non-contiguous slots
+    st_seq = cb_state_init(cfg, slots=slots, cache_len=cache_len,
+                           max_gen_len=G, rng=ks[2])
+    # mark a bystander slot live to prove it survives the scatter
+    st_seq["done"] = st_seq["done"].at[0].set(False)
+    st_seq["g"] = st_seq["g"].at[0].set(7)
+    st_many = {k: jnp.array(v) for k, v in st_seq.items()}
+
+    for j, slot in enumerate(target):
+        st_seq = cb_install(st_seq, jnp.int32(slot), kb[:, j: j + 1],
+                            vb[:, j: j + 1], lg0[j: j + 1],
+                            text_lens[j], p_lens[j] + bos)
+
+    pad = slots - b                         # repeat row 0 entirely
+    slot_ids = jnp.asarray(target + [target[0]] * pad, jnp.int32)
+    rep = lambda a, axis: jnp.concatenate(
+        [a, jnp.repeat(jnp.take(a, jnp.array([0]), axis=axis), pad,
+                       axis=axis)], axis=axis)
+    st_many = cb_install_many(
+        st_many, slot_ids, rep(kb, 1), rep(vb, 1), rep(lg0, 0),
+        rep(text_lens, 0), rep(p_lens + bos, 0))
+
+    for key in st_seq:
+        if key == "rng":
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(st_seq[key]), np.asarray(st_many[key]), err_msg=key)
+    assert not bool(st_many["done"][0]) and int(st_many["g"][0]) == 7
 
 
 def test_continuous_batcher_end_to_end_matches_synthesizer():

@@ -230,7 +230,7 @@ def test_attn_score_bf16_policy_and_loss_parity():
     from valle_tpu.models import resolve_score_bf16
 
     assert resolve_score_bf16("auto", 2) is True
-    assert resolve_score_bf16("auto", 1) is False
+    assert resolve_score_bf16("auto", 1) is True   # AR +36% measured
     assert resolve_score_bf16("off", 2) is False
     with pytest.raises(ValueError):
         resolve_score_bf16("maybe", 2)

@@ -66,11 +66,10 @@ def add_model_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--attn-score-bf16", type=str, default="auto",
                         help="bf16 score materialization in training "
                              "attention: auto | on | off. Only engages "
-                             "for bf16 compute. 'auto' enables it for "
-                             "the NAR stage (+21%% measured step "
-                             "throughput, loss-parity guarded; "
-                             "BASELINE.md round-3) and disables it "
-                             "elsewhere.")
+                             "for bf16 compute (fp32 recipes are exact "
+                             "regardless). 'auto' = on: measured +36%% "
+                             "AR / +21%% NAR step throughput at loss "
+                             "parity (BASELINE.md round-3).")
     parser.add_argument("--remat", type=str, default="auto",
                         help="Training rematerialization policy: auto | "
                              "full | dots | none. 'auto' picks the measured "
@@ -85,11 +84,13 @@ def add_model_arguments(parser: argparse.ArgumentParser) -> None:
 
 def resolve_score_bf16(mode: str, train_stage: int) -> bool:
     """Resolve ``--attn-score-bf16``: "auto" enables bf16 score
-    materialization only for the NAR stage, where the S x S score traffic
-    dominates the step (measured +21% on top of remat="none";
-    bench_train_stage.py / BASELINE.md round-3). Inert at fp32 compute."""
+    materialization for every training stage — the S x S f32 score
+    traffic dominates BOTH steps (in-process A/Bs, BASELINE.md round-3:
+    AR +36% step throughput, 241.5 -> 177.1 ms; NAR +21% on top of
+    remat="none"; loss parity within 0.01% both). Inert at fp32
+    compute, so the strict-parity fp32 recipes are unaffected."""
     if mode == "auto":
-        return train_stage == 2
+        return True
     if mode in ("on", "1", "true"):
         return True
     if mode in ("off", "0", "false"):

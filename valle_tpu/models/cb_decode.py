@@ -6,9 +6,11 @@ variance the average lane idles 30-50% of its steps. This module
 decomposes the decode into three jitted pieces so a serving loop can
 replace finished lanes with queued requests *without recompiling*:
 
-- :func:`cb_prefill` — run one request's prefix and build its KV rows;
-- :func:`cb_install` — write a prefilled request into a batch slot
-  (donated, in-place buffer update);
+- :func:`cb_prefill` — run b requests' prefixes and build their KV rows;
+- :func:`cb_install` / :func:`cb_install_many` — write prefilled
+  request(s) into batch slot(s) (donated, in-place buffer update);
+  the serving loop batches every refill wave through `cb_install_many`
+  so a wave costs 2 dispatches, not 2×n;
 - :func:`cb_decode_chunk` — advance ALL slots up to K tokens (one host
   sync per chunk, not per token), with per-slot progress counters.
 
@@ -130,6 +132,40 @@ def cb_install(st, slot, k1, v1, logits0, x_len, p_len_with_bos):
     st["gen_codes"] = jax.lax.dynamic_update_slice(
         st["gen_codes"], jnp.zeros((1, Gmax), jnp.int32), (slot, 0))
     st["gen_lens"] = st["gen_lens"].at[slot].set(Gmax)
+    return st
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def cb_install_many(st, slots, kb, vb, logits0, x_lens, p_lens_with_bos):
+    """Install b prefilled requests into ``slots`` in ONE dispatch.
+
+    Over the remote-execution tunnel every dispatch pays host round-trip
+    latency, and the first continuous-batching A/B measured the
+    per-request prefill+install chain at ~5 s of a 9.5 s serving run
+    (BASELINE.md round-3) — so refills are batched: one `cb_prefill`
+    at a fixed width plus one call here, instead of 2×n dispatches.
+
+    Padding contract: the caller pads ``slots`` and every operand row to
+    the fixed width b by REPEATING row 0 (slot index AND values).
+    Duplicate scatter indices are unspecified-order in XLA, but
+    duplicates carrying identical values are deterministic, and
+    re-installing a freshly-prefilled request is idempotent.
+    """
+    st = dict(st)
+    slots = slots.astype(jnp.int32)
+    st["k"] = st["k"].at[:, slots].set(kb.astype(st["k"].dtype))
+    st["v"] = st["v"].at[:, slots].set(vb.astype(st["v"].dtype))
+    st["logits"] = st["logits"].at[slots].set(logits0.astype(jnp.float32))
+    st["x_lens"] = st["x_lens"].at[slots].set(x_lens.astype(jnp.int32))
+    st["p_lens"] = st["p_lens"].at[slots].set(
+        p_lens_with_bos.astype(jnp.int32))
+    st["g"] = st["g"].at[slots].set(jnp.zeros_like(slots))
+    st["done"] = st["done"].at[slots].set(jnp.zeros(slots.shape, bool))
+    Gmax = st["gen_codes"].shape[1]
+    st["gen_codes"] = st["gen_codes"].at[slots].set(
+        jnp.zeros((slots.shape[0], Gmax), jnp.int32))
+    st["gen_lens"] = st["gen_lens"].at[slots].set(
+        jnp.full(slots.shape, Gmax, jnp.int32))
     return st
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import time
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -318,7 +319,7 @@ class ContinuousBatcher:
 
         from .models.cb_decode import (
             cb_decode_chunk,
-            cb_install,
+            cb_install_many,
             cb_prefill,
             cb_state_init,
         )
@@ -335,47 +336,67 @@ class ContinuousBatcher:
                            compute_dtype=self.compute_dtype)
         occupant = [None] * self.slots       # queue entry per slot
         finished = {}                        # req idx -> (q0 (G,), n)
+        stats = {"chunks": 0, "waves": 0, "install_s": 0.0}
 
-        def install(slot, entry):
-            _, rec = entry
-            k1, v1, lg0 = cb_prefill(
-                self.params, cfg, jnp.asarray(rec["text"]),
-                jnp.asarray([rec["text_len"]]),
-                jnp.asarray(rec["prompts"][..., 0]),
-                jnp.asarray([rec["p_len"]]),
+        def refill(st, free_slots):
+            """Install up to len(free_slots) queued requests in ONE
+            prefill + ONE install dispatch. The wave is padded to the
+            fixed width ``slots`` by repeating entry 0 (index AND
+            values — cb_install_many's duplicate-scatter contract), so
+            one compiled program serves every wave size."""
+            take = min(len(free_slots), len(queue))
+            if take == 0:
+                return st
+            t0 = time.perf_counter()
+            stats["waves"] += 1
+            wave = [(free_slots[j], queue.pop()) for j in range(take)]
+            for slot, entry in wave:
+                occupant[slot] = entry
+            wave = wave + [wave[0]] * (self.slots - take)
+            recs = [entry[1] for _, entry in wave]
+            slot_ids = jnp.asarray([s for s, _ in wave], jnp.int32)
+            text = jnp.asarray(np.concatenate([r["text"] for r in recs]))
+            text_lens = jnp.asarray([r["text_len"] for r in recs],
+                                    jnp.int32)
+            q0 = jnp.asarray(
+                np.concatenate([r["prompts"][..., 0] for r in recs]))
+            p_lens = jnp.asarray([r["p_len"] for r in recs], jnp.int32)
+            kb, vb, lg0 = cb_prefill(
+                self.params, cfg, text, text_lens, q0, p_lens,
                 cache_len=self.cache_len, compute_dtype=self.compute_dtype,
                 state=self.model_state)
-            occupant[slot] = entry
-            return cb_install(st, jnp.int32(slot), k1, v1, lg0,
-                              rec["text_len"], rec["p_len"] + bos)
+            st = cb_install_many(st, slot_ids, kb, vb, lg0, text_lens,
+                                 p_lens + bos)
+            stats["install_s"] += time.perf_counter() - t0
+            return st
 
-        for slot in range(self.slots):
-            if queue:
-                st = install(slot, queue.pop())
+        st = refill(st, list(range(self.slots)))
         while any(o is not None for o in occupant):
+            stats["chunks"] += 1
             st = cb_decode_chunk(
                 self.params, st, self.temperature, cfg=cfg,
                 S=self.text_pad, K=self.chunk, top_k=self.top_k,
                 compute_dtype=self.compute_dtype,
                 unroll_layers=self.unroll_layers)
             done = np.asarray(st["done"])
-            if not any(done[s] for s in range(self.slots)
-                       if occupant[s] is not None):
+            freed = [s for s in range(self.slots)
+                     if occupant[s] is not None and done[s]]
+            if not freed:
                 continue
             gen_codes = np.asarray(st["gen_codes"])
             gen_lens = np.asarray(st["gen_lens"])
-            for slot in range(self.slots):
-                if occupant[slot] is None or not done[slot]:
-                    continue
+            for slot in freed:
                 idx, rec = occupant[slot]
                 finished[idx] = (gen_codes[slot].copy(),
                                  int(gen_lens[slot]), rec)
                 occupant[slot] = None
-                if queue:
-                    st = install(slot, queue.pop())
+            st = refill(st, freed)
             if progress:
                 logging.info("continuous: %d/%d finished, %d queued",
                              len(finished), len(reqs), len(queue))
+        # wall-time attribution for benchmarks (stamped before the NAR
+        # finalize, which has its own dispatch profile)
+        self.last_stats = dict(stats)
         return self._finalize(finished)
 
     # -- NAR + codec finishing ---------------------------------------------
