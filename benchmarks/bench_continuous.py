@@ -38,6 +38,7 @@ def main():
         ContinuousBatcher,
         SynthesisRequest,
         Synthesizer,
+        plan_groups,
     )
 
     args = sys.argv[1:]
@@ -63,11 +64,16 @@ def main():
     # keeps the static path on a single padded shape.
     rng = np.random.RandomState(0)
 
+    # lengths are FIXED across passes (they determine every padded shape
+    # and derived gen budget — varying them would put fresh compiles in
+    # the timed pass); only prompt values + rng vary per pass, which is
+    # what defeats the tunnel's identical-input execution cache.
+    lens = np.random.RandomState(100).randint(3, 31, size=N)
+    for lo in range(0, N, SLOTS):
+        lens[lo] = 30
+
     def make_reqs(seed):
         r = np.random.RandomState(seed)
-        lens = r.randint(3, 31, size=N)
-        for lo in range(0, N, SLOTS):
-            lens[lo] = 30
         return [SynthesisRequest(
                     text="a" * int(k),
                     prompt_codes=r.randint(0, 1024, (225, 8)))
@@ -75,9 +81,13 @@ def main():
 
     synth = Synthesizer(model, params, tokenizer, collater, audio_tok,
                         top_k=1, max_gen_len=GEN, decode_mode="exact")
-    cb = ContinuousBatcher(model, params, tokenizer, collater, audio_tok,
-                           slots=SLOTS, text_pad=48, prompt_pad=256,
-                           max_gen_len=GEN, chunk=CHUNK, top_k=1)
+    def make_cb(admission):
+        return ContinuousBatcher(
+            model, params, tokenizer, collater, audio_tok, slots=SLOTS,
+            text_pad=48, prompt_pad=256, max_gen_len=GEN, chunk=CHUNK,
+            top_k=1, admission=admission)
+
+    cb_fifo, cb_lpt = make_cb("fifo"), make_cb("lpt")
 
     def run_static(reqs):
         out = []
@@ -86,9 +96,23 @@ def main():
                                         max_gen_len=GEN))
         return out
 
+    def run_static_sorted(reqs):
+        # length-sorted grouping: each group's derived decode budget
+        # tracks its own longest text (serving.plan_groups)
+        out = [None] * len(reqs)
+        for group in plan_groups(reqs, SLOTS):
+            res = synth.synthesize([reqs[i] for i in group])
+            for i, r in zip(group, res):
+                out[i] = r
+        return out
+
     results = {}
     for it in range(2):                      # 0 = compile, 1 = steady
-        for name, fn in (("static", run_static), ("continuous", cb.run)):
+        for name, fn, stats_of in (
+                ("static", run_static, None),
+                ("static_sorted", run_static_sorted, None),
+                ("continuous", cb_fifo.run, cb_fifo),
+                ("continuous_lpt", cb_lpt.run, cb_lpt)):
             reqs, _ = make_reqs(100 + it)    # vary inputs per pass
             t0 = time.perf_counter()
             out = fn(reqs)
@@ -100,16 +124,17 @@ def main():
                    "audio_s": round(audio_s, 1),
                    "rtf": round(audio_s / wall, 1),
                    "mean_frames": round(np.mean([r.frames for r in out]), 1)}
-            if name == "continuous":
+            if stats_of is not None:
                 rec.update({k: (round(v, 2) if isinstance(v, float) else v)
-                            for k, v in cb.last_stats.items()})
+                            for k, v in stats_of.last_stats.items()})
             tag = f"{name}_pass{it}"
             results[tag] = rec
             print(f"[{tag}] {json.dumps(rec)}", flush=True)
 
-    sp = results["static_pass1"]["wall_s"] / results[
-        "continuous_pass1"]["wall_s"]
-    results["speedup_steady"] = round(sp, 3)
+    base = results["static_pass1"]["wall_s"]
+    for arm in ("static_sorted", "continuous", "continuous_lpt"):
+        results[f"{arm}_vs_static"] = round(
+            base / results[f"{arm}_pass1"]["wall_s"], 3)
     print(json.dumps(results))
 
 

@@ -67,7 +67,10 @@ def main():
     )
 
     small = "small" in sys.argv[1:]  # CPU smoke mode
-    args = [a for a in sys.argv[1:] if a != "small"]
+    # "sbf16" = bf16 score materialization on BOTH paths, matching the
+    # trainer's --attn-score-bf16 auto default (BASELINE.md round-3)
+    sbf16 = "sbf16" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a not in ("small", "sbf16")]
     n_utts = int(args[0]) if args else (40 if small else 400)
     rng_np = np.random.RandomState(0)
     tmp = tempfile.mkdtemp(prefix="packbench")
@@ -84,10 +87,12 @@ def main():
 
     if small:
         cfg = ValleConfig(d_model=64, nhead=4, num_layers=2, prefix_mode=1,
-                          num_quantizers=8, max_len=4096)
+                          num_quantizers=8, max_len=4096,
+                          attn_score_bf16=sbf16)
     else:
         cfg = ValleConfig(d_model=1024, nhead=16, num_layers=12,
-                          prefix_mode=1, num_quantizers=8, max_len=4096)
+                          prefix_mode=1, num_quantizers=8, max_len=4096,
+                          attn_score_bf16=sbf16)
     opt_params, _ = init_valle(jax.random.PRNGKey(0), cfg)
     opt, lr_fn = make_optimizer(opt_params, base_lr=0.05, train_stage=1)
     del opt_params

@@ -10,6 +10,7 @@ the reference (tests/test_decode_parity.py).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from valle_tpu.data import AudioTokenizer, TextTokenizer
 from valle_tpu.data.collation import TextTokenCollater
@@ -182,9 +183,13 @@ def test_cb_install_many_matches_sequential_installs():
     assert not bool(st_many["done"][0]) and int(st_many["g"][0]) == 7
 
 
-def test_continuous_batcher_end_to_end_matches_synthesizer():
+@pytest.mark.parametrize("admission", ["lpt", "fifo"])
+def test_continuous_batcher_end_to_end_matches_synthesizer(admission):
     """Full pipeline through the scheduler (prefill/install/chunk + NAR
-    groups + codec) agrees with Synthesizer under greedy decoding."""
+    groups + codec) agrees with Synthesizer under greedy decoding —
+    under BOTH admission orders (greedy tokens are per-request
+    deterministic, so the schedule must not change values; results
+    return in submission order either way)."""
     cfg = tiny_cfg(prefix_mode=1)
     model = ValleModel(cfg)
     params, _ = model.init(jax.random.PRNGKey(0))
@@ -204,7 +209,7 @@ def test_continuous_batcher_end_to_end_matches_synthesizer():
     cb = ContinuousBatcher(model, params, tokenizer, collater, audio_tok,
                            slots=2, text_pad=32, prompt_pad=8,
                            max_gen_len=16, chunk=4, top_k=1,
-                           compute_dtype=jnp.float32)
+                           compute_dtype=jnp.float32, admission=admission)
 
     ref = synth.synthesize(reqs, max_gen_len=16)
     got = cb.run(reqs)

@@ -118,6 +118,56 @@ def test_http_server_end_to_end():
         server.server_close()
 
 
+def test_plan_groups_sorts_longest_first():
+    from valle_tpu.serving import SynthesisRequest, plan_groups
+
+    reqs = [SynthesisRequest(text="x" * n) for n in (3, 30, 7, 18, 11)]
+    groups = plan_groups(reqs, 2)
+    assert [len(g) for g in groups] == [2, 2, 1]
+    flat = [i for g in groups for i in g]
+    assert sorted(flat) == list(range(5))
+    lens = [len(reqs[i].text) for i in flat]
+    assert lens == sorted(lens, reverse=True)   # 30,18,11,7,3
+
+
+def test_worker_group_size_splits_and_reorders():
+    from valle_tpu.serving import SynthesisRequest
+
+    seen = []
+
+    def synth_fn(reqs):
+        seen.append([len(r.text) for r in reqs])
+        return [f"res{len(r.text)}" for r in reqs]
+
+    worker = ServingWorker(synth_fn, batch_window_ms=300, max_batch=8,
+                           group_size=2)
+    worker.start()
+    try:
+        outs = {}
+
+        def post(n):
+            outs[n] = worker.submit(SynthesisRequest(text="x" * n))
+
+        threads = [threading.Thread(target=post, args=(n,))
+                   for n in (3, 30, 7, 18, 11)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+        # every caller got ITS result despite the sorted regrouping
+        for n in (3, 30, 7, 18, 11):
+            assert outs[n] == (f"res{n}", None)
+        # groups are size <= 2 and internally longest-first (drain
+        # boundaries depend on thread timing, so only per-group order
+        # is deterministic)
+        flat = [n for g in seen for n in g]
+        assert sorted(flat) == [3, 7, 11, 18, 30]
+        assert max(len(g) for g in seen) <= 2
+        assert all(g == sorted(g, reverse=True) for g in seen)
+    finally:
+        worker.stop()
+
+
 def test_worker_surfaces_engine_errors():
     def boom(reqs):
         raise RuntimeError("engine exploded")

@@ -47,14 +47,26 @@ def wav_bytes(audio: np.ndarray, sample_rate: int = 24000) -> bytes:
 
 
 class ServingWorker(threading.Thread):
-    """Coalesces queued requests into batches and runs the engine."""
+    """Coalesces queued requests into batches and runs the engine.
+
+    With ``group_size`` set, each drained batch is planned through
+    `serving.plan_groups` (sort by text length — the AR cap is 16x text
+    tokens — longest first, split into group_size engine calls): each
+    group's decode budget then tracks its own longest request instead of
+    the whole drain's, which is the measured throughput winner over both
+    arrival-order grouping and continuous batching when generation
+    lengths track their caps (BASELINE.md round-3,
+    `bench_continuous.py`). Leave it None for engines that schedule
+    internally (continuous mode).
+    """
 
     def __init__(self, synth_fn, *, batch_window_ms: float = 50.0,
-                 max_batch: int = 32):
+                 max_batch: int = 32, group_size=None):
         super().__init__(daemon=True)
         self.synth_fn = synth_fn
         self.batch_window = batch_window_ms / 1e3
         self.max_batch = max_batch
+        self.group_size = group_size
         self.inbox = queue.Queue()
         self._stop = threading.Event()
 
@@ -89,7 +101,7 @@ class ServingWorker(threading.Thread):
                 deadline = 0.005      # drain whatever else is in flight
             reqs = [b[0] for b in batch]
             try:
-                results = self.synth_fn(reqs)
+                results = self._run(reqs)
                 errors = [None] * len(batch)
                 if len(results) != len(batch):   # never hang a client
                     raise RuntimeError(
@@ -102,6 +114,18 @@ class ServingWorker(threading.Thread):
             for (req, ev, holder), res, err in zip(batch, results, errors):
                 holder["result"], holder["error"] = res, err
                 ev.set()
+
+    def _run(self, reqs):
+        if self.group_size is None or len(reqs) <= self.group_size:
+            return self.synth_fn(reqs)
+        from ..serving import plan_groups
+
+        results = [None] * len(reqs)
+        for group in plan_groups(reqs, self.group_size):
+            out = self.synth_fn([reqs[i] for i in group])
+            for i, res in zip(group, out):
+                results[i] = res
+        return results
 
 
 def make_handler(worker: ServingWorker, info: dict):
@@ -163,12 +187,13 @@ def make_handler(worker: ServingWorker, info: dict):
 
 
 def make_server(synth_fn, *, host="127.0.0.1", port=0,
-                batch_window_ms=50.0, max_batch=32, info=None):
+                batch_window_ms=50.0, max_batch=32, group_size=None,
+                info=None):
     """Build (server, worker); worker is started, server is not yet
     serving — call ``server.serve_forever()`` (tests drive it from a
     thread)."""
     worker = ServingWorker(synth_fn, batch_window_ms=batch_window_ms,
-                           max_batch=max_batch)
+                           max_batch=max_batch, group_size=group_size)
     worker.start()
     server = ThreadingHTTPServer((host, port),
                                  make_handler(worker, info or {}))
@@ -195,7 +220,18 @@ def get_parser():
     parser.add_argument("--chunk", type=int, default=64,
                         help="continuous mode: decode steps per host sync")
     parser.add_argument("--batch-window-ms", type=float, default=50.0)
-    parser.add_argument("--max-batch", type=int, default=32)
+    parser.add_argument("--max-batch", type=int, default=32,
+                        help="max requests drained per serving cycle")
+    parser.add_argument("--group-size", type=int, default=0,
+                        help="static mode: split each drained cycle into "
+                             "length-sorted groups of this size (0 = one "
+                             "engine call per cycle; see "
+                             "serving.plan_groups)")
+    parser.add_argument("--admission", type=str, default="lpt",
+                        choices=["lpt", "fifo"],
+                        help="continuous mode: queue admission order "
+                             "(lpt = longest text first, the measured "
+                             "throughput winner)")
     parser.add_argument("--max-gen-len", type=int, default=1024)
     parser.add_argument("--top-k", type=int, default=-100)
     parser.add_argument("--temperature", type=float, default=1.0)
@@ -223,7 +259,8 @@ def main():
     if args.mode == "continuous":
         engine = ContinuousBatcher(
             model, params, tok, collater, audio_tok, slots=args.slots,
-            text_pad=args.text_pad, chunk=args.chunk, **common)
+            text_pad=args.text_pad, chunk=args.chunk,
+            admission=args.admission, **common)
         synth_fn = engine.run
     else:
         engine = Synthesizer(model, params, tok, collater, audio_tok,
@@ -233,6 +270,8 @@ def main():
     server, worker = make_server(
         synth_fn, host=args.host, port=args.port,
         batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
+        group_size=(args.group_size or None) if args.mode != "continuous"
+        else None,
         info={"mode": args.mode, "model": model.cfg.model_name})
     logging.info("serving on %s:%d (%s mode)", args.host,
                  server.server_address[1], args.mode)

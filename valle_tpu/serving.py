@@ -40,6 +40,24 @@ class SynthesisResult:
     frames: int
 
 
+def plan_groups(reqs: Sequence["SynthesisRequest"],
+                group_size: int) -> List[List[int]]:
+    """Throughput-oriented batch plan: indices sorted by text length,
+    longest first, split into ``group_size`` batches.
+
+    The AR generation cap is 16x the text-token length (reference stop
+    rule), so a batch's decode budget tracks its LONGEST request;
+    grouping like-length requests keeps short lanes from idling behind a
+    long one, and running the longest group first shortens the overall
+    tail (LPT scheduling). Measured against arrival-order grouping and
+    continuous batching in BASELINE.md round-3 (`bench_continuous.py`).
+    """
+    order = sorted(range(len(reqs)), key=lambda i: len(reqs[i].text),
+                   reverse=True)
+    return [order[lo: lo + group_size]
+            for lo in range(0, len(order), group_size)]
+
+
 class Synthesizer:
     """End-to-end batched synthesis: text+prompt -> wav.
 
@@ -252,7 +270,8 @@ class ContinuousBatcher:
                  temperature: float = 1.0, compute_dtype=None,
                  seed: int = 0, model_state=None,
                  codec_dtype: Optional[str] = None,
-                 unroll_layers: bool = False):
+                 unroll_layers: bool = False,
+                 admission: str = "lpt"):
         import jax
         import jax.numpy as jnp
 
@@ -274,6 +293,13 @@ class ContinuousBatcher:
         self.compute_dtype = compute_dtype or jnp.bfloat16
         self.codec_dtype = codec_dtype or "bfloat16"
         self.unroll_layers = unroll_layers
+        if admission not in ("lpt", "fifo"):
+            raise ValueError(f"admission must be 'lpt'|'fifo': {admission}")
+        # "lpt" admits longest text (largest decode budget) first, which
+        # shortens the drain tail; the step cost is dominated by reading
+        # every slot's KV cache, so total chunk count ~ wall time.
+        # Results always return in submission order either way.
+        self.admission = admission
         bos = int(cfg.prepend_bos)
         self.cache_len = text_pad + bos + prompt_pad + max_gen_len + 1
         self._rng = jax.random.PRNGKey(seed)
@@ -329,7 +355,11 @@ class ContinuousBatcher:
         cfg = self.model.cfg
         bos = int(cfg.prepend_bos)
         queue = [(i, self._prep_one(r)) for i, r in enumerate(reqs)]
-        queue.reverse()                      # pop() serves FIFO
+        if self.admission == "lpt":
+            # longest text (largest decode budget, 16x rule) first; FIFO
+            # within equal lengths
+            queue.sort(key=lambda e: (-e[1]["text_len"], e[0]))
+        queue.reverse()                      # pop() serves in plan order
         self._rng, rng0 = jax.random.split(self._rng)
         st = cb_state_init(cfg, slots=self.slots, cache_len=self.cache_len,
                            max_gen_len=self.max_gen_len, rng=rng0,
