@@ -67,10 +67,18 @@ def main():
     )
 
     small = "small" in sys.argv[1:]  # CPU smoke mode
-    # "sbf16" = bf16 score materialization on BOTH paths, matching the
-    # trainer's --attn-score-bf16 auto default (BASELINE.md round-3)
-    sbf16 = "sbf16" in sys.argv[1:]
-    args = [a for a in sys.argv[1:] if a not in ("small", "sbf16")]
+    # score-dtype arms: "sbf16" = bf16 score materialization only (the
+    # trainer's --attn-score-bf16 auto default, BASELINE.md round-3),
+    # "sf32" = f32 only; default runs BOTH in one process so the
+    # f32-vs-bf16 comparison is same-session (variant orderings can
+    # invert between processes — BASELINE.md methodology).
+    if "sbf16" in sys.argv[1:]:
+        score_arms = [True]
+    elif "sf32" in sys.argv[1:]:
+        score_arms = [False]
+    else:
+        score_arms = [False, True]
+    args = [a for a in sys.argv[1:] if a not in ("small", "sbf16", "sf32")]
     n_utts = int(args[0]) if args else (40 if small else 400)
     rng_np = np.random.RandomState(0)
     tmp = tempfile.mkdtemp(prefix="packbench")
@@ -85,14 +93,16 @@ def main():
     symbols = sorted({t for c in cuts for t in c.tokens})
     collater = TextTokenCollater(symbols)
 
-    if small:
-        cfg = ValleConfig(d_model=64, nhead=4, num_layers=2, prefix_mode=1,
-                          num_quantizers=8, max_len=4096,
-                          attn_score_bf16=sbf16)
-    else:
-        cfg = ValleConfig(d_model=1024, nhead=16, num_layers=12,
-                          prefix_mode=1, num_quantizers=8, max_len=4096,
-                          attn_score_bf16=sbf16)
+    def make_cfg(sbf16):
+        if small:
+            return ValleConfig(d_model=64, nhead=4, num_layers=2,
+                               prefix_mode=1, num_quantizers=8,
+                               max_len=4096, attn_score_bf16=sbf16)
+        return ValleConfig(d_model=1024, nhead=16, num_layers=12,
+                           prefix_mode=1, num_quantizers=8, max_len=4096,
+                           attn_score_bf16=sbf16)
+
+    cfg = make_cfg(False)  # param shapes are score-dtype independent
     opt_params, _ = init_valle(jax.random.PRNGKey(0), cfg)
     opt, lr_fn = make_optimizer(opt_params, base_lr=0.05, train_stage=1)
     del opt_params
@@ -153,12 +163,6 @@ def main():
     state = state._replace(params=jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 else x, state.params))
-    step_bucket = jax.jit(make_train_step(
-        cfg, opt, lr_fn, train_stage=1, accum_steps=1,
-        compute_dtype=jnp.bfloat16))
-    time_path("bucketed", bucket_batches, step_bucket, state,
-              lambda b: int(np.sum(np.asarray(b["audio_lens"]))))
-    results["bucketed"]["padding_efficiency"] = round(bucket_eff, 3)
 
     # ---- packed path (same corpus; 1024-frame rows, 8 rows/batch) ----
     pdataset = PackedSpeechDataset(collater)
@@ -175,18 +179,33 @@ def main():
         packed_batches.append(mb)
     pack_eff = real / max(padded, 1)
 
-    step_packed = jax.jit(make_train_step(
-        cfg, opt, lr_fn, train_stage=1, accum_steps=1,
-        compute_dtype=jnp.bfloat16, forward_fn=valle_ar_forward_packed))
-    time_path("packed", packed_batches, step_packed, state,
-              lambda b: int(np.sum(np.asarray(b["row_frames"]))))
-    results["packed"]["padding_efficiency"] = round(pack_eff, 3)
-
     import json
 
-    speedup = (results["packed"]["real_frames_per_sec"]
-               / results["bucketed"]["real_frames_per_sec"])
-    results["packed_vs_bucketed_speedup"] = round(speedup, 3)
+    for sbf16 in score_arms:
+        acfg = make_cfg(sbf16)
+        tag = "sbf16" if sbf16 else "sf32"
+        step_bucket = jax.jit(make_train_step(
+            acfg, opt, lr_fn, train_stage=1, accum_steps=1,
+            compute_dtype=jnp.bfloat16))
+        time_path(f"bucketed_{tag}", bucket_batches, step_bucket, state,
+                  lambda b: int(np.sum(np.asarray(b["audio_lens"]))))
+        results[f"bucketed_{tag}"]["padding_efficiency"] = round(
+            bucket_eff, 3)
+        step_packed = jax.jit(make_train_step(
+            acfg, opt, lr_fn, train_stage=1, accum_steps=1,
+            compute_dtype=jnp.bfloat16,
+            forward_fn=valle_ar_forward_packed))
+        time_path(f"packed_{tag}", packed_batches, step_packed, state,
+                  lambda b: int(np.sum(np.asarray(b["row_frames"]))))
+        results[f"packed_{tag}"]["padding_efficiency"] = round(pack_eff, 3)
+        results[f"packed_vs_bucketed_{tag}"] = round(
+            results[f"packed_{tag}"]["real_frames_per_sec"]
+            / results[f"bucketed_{tag}"]["real_frames_per_sec"], 3)
+    if len(score_arms) == 2:
+        for path in ("bucketed", "packed"):
+            results[f"{path}_bf16_vs_f32_scores"] = round(
+                results[f"{path}_sbf16"]["real_frames_per_sec"]
+                / results[f"{path}_sf32"]["real_frames_per_sec"], 3)
     print(json.dumps(results))
 
 

@@ -71,11 +71,18 @@ def main():
         make_train_step,
     )
 
-    # reference budgets: AR 80 s/batch, NAR 40 s/batch; 5.6 s mean cuts
+    # reference budgets: AR 80 s/batch, NAR 40 s/batch; 5.6 s mean cuts.
+    # Those are the reference's GPU-memory habits, not v5e constraints —
+    # "b=16,32,64" ladders the batch size (per-step audio budget) to find
+    # the 16 GB chip's own optimum under the auto remat/score policies.
     if stage == "ar":
         train_stage, B, T, S = 1, 16, 375, 96      # ~80 s of audio
     else:
         train_stage, B, T, S = 2, 8, 375, 96       # ~40 s of audio
+    Bs = [B]
+    for a in args:
+        if a.startswith("b="):
+            Bs = [int(x) for x in a.split("=", 1)[1].split(",")]
 
     cfg0 = ValleConfig(d_model=1024, nhead=16, num_layers=12, prefix_mode=1,
                        num_quantizers=8, max_len=4096)
@@ -85,26 +92,29 @@ def main():
     del params
 
     ks = jax.random.split(jax.random.PRNGKey(1), 2)
-    batch = {
-        "text": jax.random.randint(ks[0], (B, S), 0, 100, dtype=jnp.int32),
-        "text_lens": jnp.full((B,), S, jnp.int32),
-        "audio": jax.random.randint(ks[1], (B, T, 8), 0, 1024,
-                                    dtype=jnp.int32),
-        "audio_lens": jnp.full((B,), T, jnp.int32),
-    }
-    frames = B * T
+
+    def make_batch(B):
+        return {
+            "text": jax.random.randint(ks[0], (B, S), 0, 100,
+                                       dtype=jnp.int32),
+            "text_lens": jnp.full((B,), S, jnp.int32),
+            "audio": jax.random.randint(ks[1], (B, T, 8), 0, 1024,
+                                        dtype=jnp.int32),
+            "audio_lens": jnp.full((B,), T, jnp.int32),
+        }
 
     # attention sequence length seen by the stack
     T_seq = (S + T) if stage == "ar" else (S + 225 + T)
     V = 1025 if stage == "ar" else 1024
-    fwd = stack_flops(B, T_seq, 1024, 12, V)
-    useful = 3 * fwd  # fwd + bwd; remat recompute not credited
 
     rng = jax.random.key(0, impl="rbg")
     results = {}
     base_state = None
-    variants = [(r, s) for r in remats for s in scores]
-    for remat, score_bf16 in variants:
+    variants = [(r, s, b) for r in remats for s in scores for b in Bs]
+    for remat, score_bf16, B in variants:
+        batch = make_batch(B)
+        frames = B * T
+        useful = 3 * stack_flops(B, T_seq, 1024, 12, V)
         cfg = ValleConfig(d_model=1024, nhead=16, num_layers=12,
                           prefix_mode=1, num_quantizers=8, max_len=4096,
                           remat=remat, attn_score_bf16=score_bf16)
@@ -117,7 +127,8 @@ def main():
         step = jax.jit(make_train_step(
             cfg, opt, lr_fn, train_stage=train_stage, accum_steps=1,
             compute_dtype=jnp.bfloat16))
-        name = f"{stage}_remat_{remat}" + ("_sbf16" if score_bf16 else "")
+        name = (f"{stage}_remat_{remat}" + ("_sbf16" if score_bf16 else "")
+                + (f"_b{B}" if len(Bs) > 1 else ""))
         print(f"[{name}] compiling...", flush=True)
         t0 = time.perf_counter()
         try:
@@ -148,9 +159,8 @@ def main():
         }
         print(f"[{name}] {json.dumps(results[name])}", flush=True)
 
-    results["config"] = {"stage": stage, "B": B, "T": T, "S": S,
-                         "T_seq": T_seq, "useful_tflops_per_step":
-                         round(useful / 1e12, 2)}
+    results["config"] = {"stage": stage, "Bs": Bs, "T": T, "S": S,
+                         "T_seq": T_seq}
     print(json.dumps(results))
 
 
