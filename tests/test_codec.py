@@ -224,3 +224,21 @@ def test_verify_encodec_kit_runs_end_to_end(tmp_path):
                               "--golden", str(golden),
                               "--min-snr-db", "-1000"])
     assert rc == 0
+
+
+def test_audio_tokenizer_pcm16_transfer_matches_float32():
+    """transfer="pcm16" moves int16 PCM over the device->host link (half
+    the bytes of f32 — the dominant batched-decode cost over the tunnel)
+    and must agree with the f32 path to 16-bit quantization precision,
+    i.e. below what a written wav file can represent anyway."""
+    from valle_tpu.data.tokenizer import AudioTokenizer
+
+    tok = AudioTokenizer()  # random codec weights: numerics-only test
+    codes = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(3), (2, 12, 8), 0, 1024))
+    w32 = tok.decode(codes)
+    w16 = tok.decode(codes, transfer="pcm16")
+    assert w16.shape == w32.shape and w16.dtype == np.float32
+    assert np.max(np.abs(w16 - np.clip(w32, -1.0, 1.0))) <= 1.0 / 32767
+    with pytest.raises(ValueError):
+        tok.decode(codes, transfer="pcm8")

@@ -82,3 +82,18 @@ def test_synthesize_batch_dp_mesh():
     with pytest.raises(ValueError):
         Synthesizer(model, params, tokenizer, collater, audio_tok,
                     decode_mode="int8", mesh=make_mesh(tp=1))
+
+
+def test_resolve_nar_score_bf16_policy():
+    import jax.numpy as jnp
+    import pytest
+
+    from valle_tpu.serving import resolve_nar_score_bf16
+
+    assert resolve_nar_score_bf16("auto", jnp.bfloat16) is True
+    assert resolve_nar_score_bf16("auto", jnp.float32) is False
+    assert resolve_nar_score_bf16("on", jnp.float32) is True
+    assert resolve_nar_score_bf16("off", jnp.bfloat16) is False
+    assert resolve_nar_score_bf16(True, jnp.float32) is True
+    with pytest.raises(ValueError):
+        resolve_nar_score_bf16("maybe", jnp.bfloat16)

@@ -114,6 +114,62 @@ def test_inexact_decode_modes_agree_on_trained_weights():
         assert agr >= 0.98, (mode, agr, agreements)
 
 
+def test_nar_score_bf16_agreement_on_trained_weights():
+    """Serving's nar_score_bf16 policy (bf16 storage of the NAR passes'
+    score matrices — serving.resolve_nar_score_bf16) is gated the same way
+    as the inexact AR decode modes: train the tiny model to real logit
+    margins, then require near-exact argmax-code agreement vs the
+    f32-score path, and bitwise inertness at fp32 compute."""
+    import numpy as np
+
+    from valle_tpu.models.inference import valle_nar_decode
+
+    cfg = ValleConfig(model_name="valle", d_model=64, nhead=2,
+                      num_layers=2, prefix_mode=1, num_quantizers=8,
+                      max_len=512, max_prefix_len=8, dropout=0.0)
+    params, _ = init_valle(jax.random.PRNGKey(0), cfg)
+    opt, lr_fn = make_optimizer(params, base_lr=0.05, train_stage=2,
+                                warmup_steps=10)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step_fn = jax.jit(make_train_step(cfg, opt, lr_fn, train_stage=2,
+                                      accum_steps=1))
+
+    B, S, T = 8, 8, 24
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    batch = {
+        "text": jax.random.randint(ks[0], (B, S), 0, 50, dtype=jnp.int32),
+        "text_lens": jnp.full((B,), S, jnp.int32),
+        "audio": jax.random.randint(ks[1], (B, T, 8), 0, 1024,
+                                    dtype=jnp.int32),
+        "audio_lens": jnp.full((B,), T, jnp.int32),
+    }
+    losses = []
+    for _ in range(150):
+        state, metrics = step_fn(state, batch, jnp.int32(0),
+                                 jax.random.PRNGKey(2))
+        losses.append(float(metrics["loss"]) / float(metrics["frames"]))
+    assert losses[-1] < 0.35 * losses[0], (losses[0], losses[-1])
+
+    tparams = state.params
+    P, G = 6, 16
+    args = (tparams, cfg, batch["text"], batch["text_lens"],
+            batch["audio"][:, :P], jnp.full((B,), P, jnp.int32),
+            batch["audio"][:, P: P + G, 0], jnp.full((B,), G, jnp.int32))
+
+    f32_off = np.asarray(valle_nar_decode(
+        *args, compute_dtype=jnp.float32, score_bf16=False))
+    f32_on = np.asarray(valle_nar_decode(
+        *args, compute_dtype=jnp.float32, score_bf16=True))
+    assert np.array_equal(f32_off, f32_on)  # inert at fp32
+
+    bf_off = np.asarray(valle_nar_decode(
+        *args, compute_dtype=jnp.bfloat16, score_bf16=False))
+    bf_on = np.asarray(valle_nar_decode(
+        *args, compute_dtype=jnp.bfloat16, score_bf16=True))
+    agr = float((bf_off == bf_on).mean())
+    assert agr >= 0.98, agr
+
+
 def test_stage_masking_freezes_other_subtree():
     """Stage-1 training must leave every NAR parameter untouched."""
     cfg = ValleConfig(d_model=32, nhead=2, num_layers=2, num_quantizers=8,

@@ -236,6 +236,16 @@ def get_parser():
     parser.add_argument("--top-k", type=int, default=-100)
     parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--codec-dtype", type=str, default="bfloat16")
+    parser.add_argument("--nar-score-bf16", type=str, default="auto",
+                        choices=("auto", "on", "off"),
+                        help="bf16 storage of the NAR passes' attention "
+                        "scores (auto: on at bf16 compute; measured A/B + "
+                        "trained-weights agreement gate, BASELINE.md)")
+    parser.add_argument("--wav-transfer", type=str, default="pcm16",
+                        choices=("pcm16", "float32"),
+                        help="waveform device->host representation; pcm16 "
+                        "halves the dominant transfer cost and matches the "
+                        "16-bit wav container precision")
     return parser
 
 
@@ -255,7 +265,9 @@ def main():
     common = dict(model_state=state, top_k=args.top_k,
                   temperature=args.temperature,
                   max_gen_len=args.max_gen_len,
-                  codec_dtype=args.codec_dtype)
+                  codec_dtype=args.codec_dtype,
+                  nar_score_bf16=args.nar_score_bf16,
+                  wav_transfer=args.wav_transfer)
     if args.mode == "continuous":
         engine = ContinuousBatcher(
             model, params, tok, collater, audio_tok, slots=args.slots,

@@ -233,11 +233,20 @@ class AudioTokenizer:
         return np.asarray(codes)
 
     def decode(self, codes: np.ndarray,
-               dtype: Optional[str] = None) -> np.ndarray:
+               dtype: Optional[str] = None,
+               transfer: str = "float32") -> np.ndarray:
         """codes: (B, F, n_q) -> wav (B, F*320) float32.
 
         ``dtype="bfloat16"`` runs the decoder in bf16 (see
         ``encodec_decode``); default fp32.
+
+        ``transfer="pcm16"`` quantizes the waveform to int16 PCM ON
+        DEVICE and transfers 2 bytes/sample instead of 4 — the
+        device->host copy dominates batched decode wall time (measured
+        ~43 MB/s effective over the tunnel, BASELINE.md round 3), and
+        wav files store 16-bit PCM anyway, so the quantization is
+        invisible in the written artifact. Still returns float32 in
+        [-1, 1] (dequantized on host).
         """
         import jax.numpy as jnp
 
@@ -246,6 +255,13 @@ class AudioTokenizer:
         wav = encodec_decode(
             self.params, jnp.asarray(codes), cfg=self.config,
             dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+        if transfer == "pcm16":
+            q = jnp.clip(jnp.round(wav[..., 0] * 32767.0),
+                         -32768.0, 32767.0).astype(jnp.int16)
+            return np.asarray(q).astype(np.float32) / 32767.0
+        if transfer != "float32":
+            raise ValueError(
+                f"transfer must be 'float32'|'pcm16': {transfer!r}")
         return np.asarray(wav)[..., 0]
 
 

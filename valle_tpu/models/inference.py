@@ -351,7 +351,7 @@ def valle_ar_decode(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "score_bf16"))
 def valle_nar_decode(
     params,
     cfg: ValleConfig,
@@ -364,12 +364,20 @@ def valle_nar_decode(
     *,
     compute_dtype=jnp.float32,
     state=None,
+    score_bf16: bool = False,
 ) -> jnp.ndarray:
     """7 sequential NAR argmax passes. Returns codes (B, G, Q).
 
     Sequence layout: [text(S); prompt(P); generated(G)] with masking for
     per-sample lengths; PE positions are contiguous per the reference
     (prompt at 0..p-1, generated at p..p+g-1).
+
+    ``score_bf16=True`` stores each pass's (B, H, S, S) attention-score
+    matrix in bfloat16 (only meaningful at bf16 compute; inert at fp32).
+    The score matrix is the NAR forward's HBM bottleneck (BASELINE.md) —
+    same policy as NAR-stage training. Argmax codes may flip at
+    near-ties, so serving gates it like the other inexact decode modes
+    (trained-weights agreement, tests/test_training_convergence.py).
     """
     B, S = text.shape
     P = prompt_codes.shape[1]
@@ -455,7 +463,7 @@ def valle_nar_decode(
                 params["nar"]["decoder"], seq, x, bias, cross_bias, cond,
                 nhead=cfg.nar_nhead, norm_first=cfg.norm_first,
                 activation=cfg.activation, dropout_rate=0.0,
-                deterministic=True, dtype=dtype)
+                deterministic=True, dtype=dtype, score_bf16=score_bf16)
         else:
             seq = jnp.concatenate(
                 [x, py_p + pe_p, py_g + pe_g], axis=1)
@@ -463,7 +471,7 @@ def valle_nar_decode(
                 params["nar"]["decoder"], seq, bias, cond,
                 nhead=cfg.nar_nhead, norm_first=cfg.norm_first,
                 activation=cfg.activation, dropout_rate=0.0,
-                deterministic=True, dtype=dtype)
+                deterministic=True, dtype=dtype, score_bf16=score_bf16)
         Wi = jnp.take(W, i, axis=0).astype(dtype)  # (nd, V)
         logits = dec[:, -G:] @ Wi                  # (B, G, V)
         samples = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -643,6 +651,7 @@ def valle_inference(
     compute_dtype=jnp.float32,
     decode_mode: str = "exact",
     state=None,
+    nar_score_bf16: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full zero-shot synthesis: AR decode then NAR refinement.
 
@@ -660,6 +669,9 @@ def valle_inference(
     Fused modes fall back to "unroll" when the model dims are not
     128-aligned. At large batch (measured B=128) XLA's batched matmuls
     keep pace — fused holds parity there, int8 loses (BASELINE.md).
+
+    ``nar_score_bf16``: store NAR-pass attention scores in bfloat16
+    (see ``valle_nar_decode``; inert at fp32 compute).
 
     Returns (codes (B, max_gen_len, Q), gen_lens (B,)).
     """
@@ -723,7 +735,8 @@ def valle_inference(
 
     codes = valle_nar_decode(
         params, cfg, nar_text, nar_text_lens, prompt_codes, prompt_lens,
-        gen_q0, gen_lens, compute_dtype=compute_dtype, state=state)
+        gen_q0, gen_lens, compute_dtype=compute_dtype, state=state,
+        score_bf16=nar_score_bf16)
     return codes, gen_lens
 
 

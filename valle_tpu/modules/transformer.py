@@ -150,15 +150,21 @@ def _attend(q, k, v, bias, *, dropout_rate=0.0, rng=None, deterministic=True,
     use the einsum path (the reference applies dropout on the probabilities,
     activation.py:12, which the fused kernel does not model).
     """
-    if deterministic or dropout_rate == 0.0 or rng is None:
-        from ..ops.attention import fused_attention
-
-        return fused_attention(q, k, v, bias)
-    dh = q.shape[-1]
     if score_bf16 is None:
         score_bf16 = SCORE_BF16   # env override for benches/experiments
     sdt = (jnp.bfloat16 if score_bf16 and q.dtype == jnp.bfloat16
            else jnp.float32)
+    if (deterministic or dropout_rate == 0.0 or rng is None) \
+            and sdt == jnp.float32:
+        from ..ops.attention import fused_attention
+
+        return fused_attention(q, k, v, bias)
+    # einsum path: attention-dropout training steps (the reference applies
+    # dropout on the probabilities, activation.py:12, which the fused
+    # kernel does not model) and bf16-score calls (the S x T score matrix
+    # is the HBM bottleneck at full-sequence shapes; storing it bf16 is
+    # the measured NAR-stage win — BASELINE.md round 3).
+    dh = q.shape[-1]
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ).astype(sdt) / math.sqrt(dh)

@@ -40,6 +40,22 @@ class SynthesisResult:
     frames: int
 
 
+def resolve_nar_score_bf16(mode, compute_dtype) -> bool:
+    """Resolve the NAR score-dtype policy: "auto" enables bf16 score
+    storage whenever compute is bf16 (the policy is inert at fp32 —
+    models.inference.valle_nar_decode). Accepts bools for convenience."""
+    if isinstance(mode, bool):
+        return mode
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(
+            f"nar_score_bf16 must be 'auto'|'on'|'off'|bool: {mode!r}")
+    if mode == "auto":
+        import jax.numpy as jnp
+
+        return bool(jnp.dtype(compute_dtype) == jnp.bfloat16)
+    return mode == "on"
+
+
 def plan_groups(reqs: Sequence["SynthesisRequest"],
                 group_size: int) -> List[List[int]]:
     """Throughput-oriented batch plan: indices sorted by text length,
@@ -72,7 +88,9 @@ class Synthesizer:
                  temperature: float = 1.0, max_gen_len: int = 1024,
                  compute_dtype=None, seed: int = 0,
                  decode_mode: str = "exact", mesh=None,
-                 codec_dtype: Optional[str] = None):
+                 codec_dtype: Optional[str] = None,
+                 nar_score_bf16: str = "auto",
+                 wav_transfer: str = "pcm16"):
         import jax
         import jax.numpy as jnp
 
@@ -118,6 +136,17 @@ class Synthesizer:
         # the codec's own quantization noise; BASELINE.md). Pass "float32"
         # to force the exact path.
         self.codec_dtype = codec_dtype or "bfloat16"
+        # NAR-pass attention-score dtype: the (B, H, S, S) score matrix is
+        # the NAR forward's HBM bottleneck; "auto" stores it bf16 whenever
+        # compute is bf16 (measured A/B + trained-weights code agreement
+        # in BASELINE.md round 3). "on"/"off" force it; inert at fp32.
+        self.nar_score_bf16 = resolve_nar_score_bf16(
+            nar_score_bf16, self.compute_dtype)
+        # waveform device->host representation: int16 PCM halves the
+        # dominant transfer cost of batched codec decode and matches the
+        # wav container's own precision (AudioTokenizer.decode). Pass
+        # "float32" for bit-exact f32 waveforms.
+        self.wav_transfer = wav_transfer
         self._rng = jax.random.PRNGKey(seed)
 
     @classmethod
@@ -226,11 +255,13 @@ class Synthesizer:
             top_k=self.top_k, temperature=self.temperature,
             rng=step_rng, max_gen_len=gen_budget,
             compute_dtype=self.compute_dtype,
-            decode_mode=self.decode_mode, state=self.model_state)
+            decode_mode=self.decode_mode, state=self.model_state,
+            nar_score_bf16=self.nar_score_bf16)
         # decode the PADDED batch on-device (same static shape as the
         # decode program), then trim the padding rows per request
         wavs = self.audio_tokenizer.decode(np.asarray(codes),
-                                           dtype=self.codec_dtype)
+                                           dtype=self.codec_dtype,
+                                           transfer=self.wav_transfer)
         wavs = wavs[: len(reqs)]
         codes = np.asarray(codes)[: len(reqs)]   # drop padding rows
         gen_lens = np.asarray(gen_lens)[: len(reqs)]
@@ -271,7 +302,9 @@ class ContinuousBatcher:
                  seed: int = 0, model_state=None,
                  codec_dtype: Optional[str] = None,
                  unroll_layers: bool = False,
-                 admission: str = "lpt"):
+                 admission: str = "lpt",
+                 nar_score_bf16: str = "auto",
+                 wav_transfer: str = "pcm16"):
         import jax
         import jax.numpy as jnp
 
@@ -292,6 +325,9 @@ class ContinuousBatcher:
         self.temperature = temperature
         self.compute_dtype = compute_dtype or jnp.bfloat16
         self.codec_dtype = codec_dtype or "bfloat16"
+        self.nar_score_bf16 = resolve_nar_score_bf16(
+            nar_score_bf16, self.compute_dtype)
+        self.wav_transfer = wav_transfer
         self.unroll_layers = unroll_layers
         if admission not in ("lpt", "fifo"):
             raise ValueError(f"admission must be 'lpt'|'fifo': {admission}")
@@ -455,8 +491,9 @@ class ContinuousBatcher:
 
             if cfg.num_quantizers == 1:
                 codes = np.asarray(q0)[..., None]
-                wavs = self.audio_tokenizer.decode(codes,
-                                                   dtype=self.codec_dtype)
+                wavs = self.audio_tokenizer.decode(
+                    codes, dtype=self.codec_dtype,
+                    transfer=self.wav_transfer)
                 for j, i in enumerate(idxs):
                     n = finished[i][1]
                     results[i] = SynthesisResult(
@@ -470,9 +507,11 @@ class ContinuousBatcher:
             codes = valle_nar_decode(
                 self.params, cfg, ntext, nlens, jnp.asarray(prompts),
                 jnp.asarray(p_lens), jnp.asarray(q0), jnp.asarray(g_lens),
-                compute_dtype=self.compute_dtype, state=self.model_state)
+                compute_dtype=self.compute_dtype, state=self.model_state,
+                score_bf16=self.nar_score_bf16)
             wavs = self.audio_tokenizer.decode(np.asarray(codes),
-                                               dtype=self.codec_dtype)
+                                               dtype=self.codec_dtype,
+                                               transfer=self.wav_transfer)
             codes = np.asarray(codes)
             for j, i in enumerate(idxs):
                 n = finished[i][1]
