@@ -173,6 +173,7 @@ def test_resolve_remat_policy():
     assert resolve_remat("auto", 0) == "full"
     assert resolve_remat("auto", 2) == "none"
     assert resolve_remat("dots", 2) == "dots"
+    assert resolve_remat("scores", 1) == "scores"
     with pytest.raises(ValueError):
         resolve_remat("bogus", 1)
 
@@ -196,10 +197,12 @@ def test_resolve_remat_policy():
     assert get_model(P()).cfg.remat == "full"
 
 
-@pytest.mark.parametrize("remat", ["none", "dots"])
+@pytest.mark.parametrize("remat", ["none", "dots", "scores"])
 def test_remat_policy_value_parity(remat):
     """Remat is a schedule choice, not a math change: training losses and
-    gradients under "none"/"dots" match "full" to fp32 round-off."""
+    gradients under "none"/"dots"/"scores" match "full" to fp32 round-off
+    ("scores" drops only the named S x S attention score/prob residuals
+    and recomputes them in the backward pass)."""
     cfg_full = tiny_cfg(remat="full")
     cfg_alt = tiny_cfg(remat=remat)
     params, _ = init_valle(jax.random.PRNGKey(0), cfg_full)

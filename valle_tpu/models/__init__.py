@@ -72,7 +72,11 @@ def add_model_arguments(parser: argparse.ArgumentParser) -> None:
                              "parity (BASELINE.md round-3).")
     parser.add_argument("--remat", type=str, default="auto",
                         help="Training rematerialization policy: auto | "
-                             "full | dots | none. 'auto' picks the measured "
+                             "full | dots | none | scores ('scores' saves "
+                             "all residuals except the S x S attention "
+                             "score/prob matrices — near-'none' speed in "
+                             "flash-attention's memory footprint). "
+                             "'auto' picks the measured "
                              "per-stage optimum (bench_train_stage.py, "
                              "BASELINE.md): 'none' for the NAR stage "
                              "(--train-stage 2, +19%% step throughput at "
@@ -111,7 +115,7 @@ def resolve_remat(remat: str, train_stage: int) -> str:
     """
     if remat == "auto":
         return "none" if train_stage == 2 else "full"
-    if remat not in ("full", "dots", "none"):
+    if remat not in ("full", "dots", "none", "scores"):
         raise ValueError(f"unknown remat policy {remat!r}")
     return remat
 

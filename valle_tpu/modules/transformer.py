@@ -164,13 +164,22 @@ def _attend(q, k, v, bias, *, dropout_rate=0.0, rng=None, deterministic=True,
     # kernel does not model) and bf16-score calls (the S x T score matrix
     # is the HBM bottleneck at full-sequence shapes; storing it bf16 is
     # the measured NAR-stage win — BASELINE.md round 3).
+    from jax.ad_checkpoint import checkpoint_name
+
     dh = q.shape[-1]
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ).astype(sdt) / math.sqrt(dh)
     if bias is not None:
         scores = scores + bias.astype(sdt)
+    # names are inert identities except under remat="scores"
+    # (_apply_remat): that policy saves every residual EXCEPT these two
+    # (B, H, Tq, Tk) matrices — the dominant activation memory at
+    # full-sequence training shapes — and recomputes QK^T + softmax in
+    # the backward pass (flash-attention's memory shape, via XLA).
+    scores = checkpoint_name(scores, "attn_scores")
     probs = jax.nn.softmax(scores, axis=-1)
+    probs = checkpoint_name(probs, "attn_probs")
     probs = _dropout(probs, dropout_rate, rng, deterministic)
     out = jnp.einsum(
         "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
@@ -509,8 +518,11 @@ def _apply_remat(body, remat):
     """Wrap a scan body per the remat policy: False/"none" saves all
     residuals, True/"full" recomputes everything, "dots" saves matmul
     outputs and recomputes element-wise ops
-    (jax.checkpoint_policies.checkpoint_dots). Measured A/Bs in
-    BASELINE.md (benchmarks/bench_train_stage.py)."""
+    (jax.checkpoint_policies.checkpoint_dots), "scores" saves everything
+    EXCEPT the S x S attention score/prob matrices (named in _attend) —
+    near-"none" speed in flash-attention's activation footprint, for
+    shapes where "none" OOMs. Measured A/Bs in BASELINE.md
+    (benchmarks/bench_train_stage.py)."""
     if remat in (False, "none"):
         return body
     if remat in (True, "full"):
@@ -518,6 +530,11 @@ def _apply_remat(body, remat):
     if remat == "dots":
         return jax.checkpoint(
             body, policy=jax.checkpoint_policies.checkpoint_dots)
+    if remat == "scores":
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_anything_except_these_names(
+                "attn_scores", "attn_probs"))
     raise ValueError(f"unknown remat policy {remat!r}")
 
 
