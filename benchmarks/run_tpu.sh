@@ -11,7 +11,11 @@ export PYTHONPATH="$(pwd):${PYTHONPATH:-}"
 for attempt in $(seq 1 12); do
   out=$(python3 "$@" 2>&1)
   rc=$?
-  if echo "$out" | grep -q "not in the list of known backends"; then
+  # Two observed "chip not ready" shapes: the sitecustomize swallowing the
+  # claim failure ("not in the list of known backends") and the PJRT plugin
+  # surfacing it directly ("Unable to initialize backend 'axon':
+  # UNAVAILABLE"). Both mean the previous grant hasn't drained — retry.
+  if echo "$out" | grep -qE "not in the list of known backends|Unable to initialize backend 'axon'"; then
     echo "[run_tpu] chip busy (attempt $attempt); retrying in 45 s" >&2
     sleep 45
     continue

@@ -139,13 +139,13 @@ def init_valle(rng: jax.Array, cfg: ValleConfig):
             keys[6], cfg.num_text_tokens, nd)
         # Stacked audio embeddings: slot 0 has a PAD row (id 1024); slots
         # 1..Q-1 only use rows 0..1023 (reference valle.py:171-178). Row 1024
-        # of slots >=1 exists for stacking but is never indexed.
-        nar["audio_embs"] = {
-            "weight": jax.random.normal(
-                keys[7],
-                (cfg.num_quantizers, cfg.num_audio_tokens + 1, nd),
-            )
-        }
+        # of slots >=1 exists for stacking but is never indexed — zero it so
+        # the pytree matches the torch importer's canonical form and
+        # export_torch_state_dict round-trips bitwise.
+        embs_w = jax.random.normal(
+            keys[7], (cfg.num_quantizers, cfg.num_audio_tokens + 1, nd))
+        embs_w = embs_w.at[1:, cfg.num_audio_tokens, :].set(0.0)
+        nar["audio_embs"] = {"weight": embs_w}
         nar["text_pe"] = emb.init_sine_positional(alpha_trainable=False)
         nar["audio_pe"] = emb.init_sine_positional(alpha_trainable=False)
         nar["decoder"] = init_stack(

@@ -186,6 +186,150 @@ def import_torch_state_dict(sd: Dict[str, Any], cfg) -> tuple:
     return params, state
 
 
+def export_torch_state_dict(params, cfg, state=None) -> Dict[str, np.ndarray]:
+    """Inverse of ``import_torch_state_dict``: our pytree -> a reference-
+    named state_dict (numpy arrays, torch layouts).
+
+    Enables interop in BOTH directions: models trained on TPU can be
+    loaded by the reference's ``bin/infer.py`` / eval tooling
+    (``/root/reference/valle/bin/infer.py:126-148`` rebuilds the model
+    from checkpoint hyperparameters and ``load_state_dict``). The key set
+    matches ``Model.state_dict()`` exactly — including the tied
+    ``nar_predict_layers.{j}.weight`` copies that torch emits for shared
+    embeddings (``/root/reference/valle/models/valle.py:261-271``) and
+    BatchNorm's ``num_batches_tracked`` counters — so ``strict=True``
+    loads succeed (round-tripped in ``tests/test_torch_export.py``).
+    """
+    from ..models.valle import ValleConfig  # local import to avoid cycle
+
+    assert isinstance(cfg, ValleConfig)
+    Q = cfg.num_quantizers
+    V = cfg.num_audio_tokens
+    is_vallf = cfg.model_name == "vallf"
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(k, v):
+        sd[k] = np.asarray(v, dtype=np.float32)
+
+    def put_linear(k, w):  # ours (in, out) -> torch (out, in)
+        put(k, np.asarray(w, np.float32).T)
+
+    def put_norm(prefix, n):
+        if "proj" in n:  # AdaptiveLayerNorm
+            put_linear(f"{prefix}.project_layer.weight", n["proj"]["w"])
+            put(f"{prefix}.project_layer.bias", n["proj"]["b"])
+            put(f"{prefix}.norm.weight", n["norm"]["scale"])
+            put(f"{prefix}.norm.bias", n["norm"]["bias"])
+        else:
+            put(f"{prefix}.weight", n["scale"])
+            put(f"{prefix}.bias", n["bias"])
+
+    def put_layers(prefix, layers):
+        n_layers = jax.tree_util.tree_leaves(layers)[0].shape[0]
+        for i in range(n_layers):
+            lp = jax.tree_util.tree_map(lambda x: np.asarray(x)[i], layers)
+            p = f"{prefix}.{i}"
+            put(f"{p}.self_attn.in_proj_weight",
+                np.asarray(lp["self_attn"]["in_w"], np.float32).T)
+            put(f"{p}.self_attn.in_proj_bias", lp["self_attn"]["in_b"])
+            put_linear(f"{p}.self_attn.out_proj.weight",
+                       lp["self_attn"]["out_w"])
+            put(f"{p}.self_attn.out_proj.bias", lp["self_attn"]["out_b"])
+            if is_vallf:
+                put(f"{p}.multihead_attn.in_proj_weight",
+                    np.asarray(lp["cross_attn"]["in_w"], np.float32).T)
+                put(f"{p}.multihead_attn.in_proj_bias",
+                    lp["cross_attn"]["in_b"])
+                put_linear(f"{p}.multihead_attn.out_proj.weight",
+                           lp["cross_attn"]["out_w"])
+                put(f"{p}.multihead_attn.out_proj.bias",
+                    lp["cross_attn"]["out_b"])
+            put_linear(f"{p}.linear1.weight", lp["ffn"]["lin1"]["w"])
+            put(f"{p}.linear1.bias", lp["ffn"]["lin1"]["b"])
+            put_linear(f"{p}.linear2.weight", lp["ffn"]["lin2"]["w"])
+            put(f"{p}.linear2.bias", lp["ffn"]["lin2"]["b"])
+            for nm in ["norm1", "norm2"] + (["norm3"] if is_vallf else []):
+                put_norm(f"{p}.{nm}", lp[nm])
+
+    def put_prenets(branch):
+        bp = params[branch].get("text_prenet")
+        if bp is None:
+            return
+        bs = (state or {}).get(branch, {}).get("text_prenet", {})
+        for i, (ci, bi) in enumerate(((1, 2), (5, 6), (9, 10))):
+            put(f"{branch}_text_prenet.{ci}.weight",
+                np.transpose(np.asarray(bp[f"conv{i}"]["w"], np.float32),
+                             (2, 1, 0)))
+            put(f"{branch}_text_prenet.{ci}.bias", bp[f"conv{i}"]["b"])
+            put(f"{branch}_text_prenet.{bi}.weight", bp[f"bn{i}"]["scale"])
+            put(f"{branch}_text_prenet.{bi}.bias", bp[f"bn{i}"]["bias"])
+            bn_state = bs.get(f"bn{i}", {})
+            put(f"{branch}_text_prenet.{bi}.running_mean",
+                bn_state.get("mean", np.zeros_like(
+                    np.asarray(bp[f"bn{i}"]["scale"]))))
+            put(f"{branch}_text_prenet.{bi}.running_var",
+                bn_state.get("var", np.ones_like(
+                    np.asarray(bp[f"bn{i}"]["scale"]))))
+            sd[f"{branch}_text_prenet.{bi}.num_batches_tracked"] = (
+                np.asarray(0, dtype=np.int64))
+        put_linear(f"{branch}_text_prenet.14.weight", bp["out"]["w"])
+        put(f"{branch}_text_prenet.14.bias", bp["out"]["b"])
+        ap = params[branch]["audio_prenet"]
+        for i, li in enumerate((0, 3, 6)):
+            put_linear(f"{branch}_audio_prenet.{li}.weight", ap[f"lin{i}"]["w"])
+            put(f"{branch}_audio_prenet.{li}.bias", ap[f"lin{i}"]["b"])
+
+    ar = params["ar"]
+    put("ar_text_embedding.word_embeddings.weight", ar["text_emb"]["weight"])
+    put("ar_audio_embedding.word_embeddings.weight", ar["audio_emb"]["weight"])
+    put("ar_text_position.alpha", np.asarray(
+        ar["text_pe"]["alpha"], np.float32).reshape(1))
+    put("ar_audio_position.alpha", np.asarray(
+        ar["audio_pe"]["alpha"], np.float32).reshape(1))
+    put_layers("ar_decoder.layers", ar["decoder"]["layers"])
+    if "final_norm" in ar["decoder"]:
+        put_norm("ar_decoder.norm", ar["decoder"]["final_norm"])
+    put_linear("ar_predict_layer.weight", ar["predict"]["w"])
+    put_prenets("ar")
+
+    if Q > 1:
+        nar = params["nar"]
+        put("nar_text_embedding.word_embeddings.weight",
+            nar["text_emb"]["weight"])
+        embs = np.asarray(nar["audio_embs"]["weight"], np.float32)  # (Q,V+1,nd)
+        # j=0 keeps its EOS row (V+1 tokens); j>=1 drop the stacking pad row
+        # (reference builds them with V rows, valle.py:172-177)
+        put("nar_audio_embeddings.0.word_embeddings.weight", embs[0])
+        for j in range(1, Q):
+            put(f"nar_audio_embeddings.{j}.word_embeddings.weight",
+                embs[j][:V])
+        # torch Parameter exists (requires_grad=False, value 1) even though
+        # the NAR positions are not learnable (embedding.py:61)
+        sd["nar_text_position.alpha"] = np.ones((1,), np.float32)
+        sd["nar_audio_position.alpha"] = np.ones((1,), np.float32)
+        put_layers("nar_decoder.layers", nar["decoder"]["layers"])
+        if "final_norm" in nar["decoder"]:
+            put_norm("nar_decoder.norm", nar["decoder"]["final_norm"])
+        if cfg.share_embedding:
+            # predict layer j (0..Q-3) is TIED to audio embedding j+2;
+            # state_dict() emits the tied tensors under both names
+            for j in range(Q - 2):
+                put(f"nar_predict_layers.{j}.weight", embs[j + 2][:V])
+            put_linear(f"nar_predict_layers.{Q - 2}.weight",
+                       nar["predict_last"]["w"])
+        else:
+            pw = np.asarray(nar["predict"]["w"], np.float32)  # (Q-1, nd, V)
+            for j in range(Q - 1):
+                put(f"nar_predict_layers.{j}.weight", pw[j].T)
+        stage = np.asarray(nar["stage_embs"]["weight"], np.float32)  # (Q-1,nd)
+        for j in range(Q - 1):
+            put(f"nar_stage_embeddings.{j}.word_embeddings.weight",
+                stage[j][None, :])
+        put_prenets("nar")
+
+    return sd
+
+
 def load_torch_checkpoint(path: str, cfg=None):
     """Load a reference ``.pt`` checkpoint file (needs torch, CPU-only).
 
