@@ -22,9 +22,30 @@ import jax
 import jax.numpy as jnp
 
 
+def _wait_for_backend(max_attempts: int = 3) -> None:
+    """The tunnel chip is exclusive and slow to release; a start during an
+    outage or a lingering grant surfaces as RuntimeError("Unable to
+    initialize backend 'axon': UNAVAILABLE ...") after a long internal
+    timeout. Retry a bounded number of times so a transient outage does
+    not cost the round its headline number."""
+    for attempt in range(1, max_attempts + 1):
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if "Unable to initialize backend" not in str(e):
+                raise
+            if attempt == max_attempts:
+                raise
+            print(f"# backend unavailable (attempt {attempt}); "
+                  "retrying in 60 s", flush=True)
+            time.sleep(60)
+
+
 def main():
     from valle_tpu.utils import enable_compilation_cache
 
+    _wait_for_backend()
     enable_compilation_cache()
     from valle_tpu.models import ValleConfig, init_valle
     from valle_tpu.models.inference import valle_ar_decode

@@ -8,7 +8,7 @@ cd "$(dirname "$0")/.."
 # sitecustomize that registers the TPU backend; dropping it yields
 # "Backend 'axon' is not in the list of known backends".
 export PYTHONPATH="$(pwd):${PYTHONPATH:-}"
-for attempt in $(seq 1 12); do
+for attempt in $(seq 1 40); do
   out=$(python3 "$@" 2>&1)
   rc=$?
   # Two observed "chip not ready" shapes: the sitecustomize swallowing the

@@ -65,8 +65,10 @@ class ValleConfig:
     # training rematerialization policy for the layer scan: "full"
     # (checkpoint everything — lowest memory, recompute-heavy), "dots"
     # (jax.checkpoint_policies.checkpoint_dots: matmul outputs saved,
-    # element-wise ops recomputed), "none" (save all residuals).
-    # Measured A/Bs in BASELINE.md (bench_train_stage.py).
+    # element-wise ops recomputed), "none" (save all residuals), "scores"
+    # (save all residuals EXCEPT the S x S attention score/prob matrices —
+    # flash-attention's activation footprint; for shapes where "none"
+    # OOMs). Measured A/Bs in BASELINE.md (bench_train_stage.py).
     remat: str = "full"
     # bf16 score/probability materialization for TRAINING attention (only
     # engages for bf16 compute with dropout; the score matmul still
