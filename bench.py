@@ -106,18 +106,27 @@ def main():
     best = None
     for name, kw in candidates:
         run = make_run(kw)
-        try:
+        try:  # the whole probe: a kernel can also die in warmup/timing
             np.asarray(run(jax.random.fold_in(ks[2], 0))[0])
+            for w in range(4):
+                np.asarray(run(jax.random.fold_in(ks[2], 100 + w))[0])
+            probe = timed(run, 2, base=200)
         except Exception as e:  # pragma: no cover - backend-specific
             print(f"# mode {name} unavailable ({type(e).__name__})",
                   flush=True)
             continue
-        for w in range(4):
-            np.asarray(run(jax.random.fold_in(ks[2], 100 + w))[0])
-        probe = timed(run, 2, base=200)
         print(f"# probe {name}: {probe*1e3/GEN:.3f} ms/step", flush=True)
         if best is None or probe < best[2]:
             best = (name, run, probe)
+
+    if best is None:
+        # Both probes failed (e.g. a transient tunnel error mid-warmup).
+        # Last resort so the round still gets a headline: one more shot at
+        # the exact XLA path, letting a real failure propagate loudly.
+        run = make_run({})
+        for w in range(5):
+            np.asarray(run(jax.random.fold_in(ks[2], 300 + w))[0])
+        best = ("exact_retry", run, float("inf"))
 
     name, run, _ = best
     print(f"# selected decode mode: {name}", flush=True)

@@ -206,6 +206,26 @@ def test_kv_grouped_kernel_matches_oracle():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+def test_kv_block_k_invariants():
+    """The kv kernel's block size must divide T (the block loop reads
+    [blk*bk, blk*bk+bk) up to the max write position — a non-dividing bk
+    reads past the cache end), be a 128-multiple, and respect the VMEM
+    budget whenever the 128 floor allows it."""
+    from valle_tpu.ops.decode_attention_kv import _VMEM_BUDGET, _block_k
+
+    for H, G, T, D2, item in [
+        (4, 8, 512, 128, 4),    # the oracle-test shape
+        (16, 8, 512, 128, 2),   # flagship bf16
+        (16, 8, 384, 128, 4),   # flagship fp32: budget < 128 -> floor
+        (8, 8, 384, 256, 2),    # Dh=128 lanes; T=384 forces bk | T
+        (4, 8, 128, 128, 2),    # single-block cache
+    ]:
+        bk = _block_k(H, G, T, D2, item)
+        assert bk % 128 == 0 and T % bk == 0, (H, G, T, D2, item, bk)
+        slot_bytes = H * G * bk * D2 * item
+        assert slot_bytes <= _VMEM_BUDGET or bk == 128, (bk, slot_bytes)
+
+
 def test_lanes_kernel_matches_oracle():
     """Lane-combined contiguous-DMA kernel (interpret) == masked attention
     over the same K/V (token-exact layout #4; see

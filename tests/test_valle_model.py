@@ -227,16 +227,16 @@ def test_remat_policy_value_parity(remat):
 
 
 def test_attn_score_bf16_policy_and_loss_parity():
-    """--attn-score-bf16 auto resolves per stage; at fp32 compute the flag
+    """--attn-score-bf16 auto enables bf16 scores for every bf16 stage; at
+    fp32 compute the flag
     is inert (bitwise-equal losses); at bf16 compute the loss stays within
     the loss-parity band measured on the chip (BASELINE.md round-3)."""
     from valle_tpu.models import resolve_score_bf16
 
-    assert resolve_score_bf16("auto", 2) is True
-    assert resolve_score_bf16("auto", 1) is True   # AR +36% measured
-    assert resolve_score_bf16("off", 2) is False
+    assert resolve_score_bf16("auto") is True   # all bf16 stages: AR +36%
+    assert resolve_score_bf16("off") is False
     with pytest.raises(ValueError):
-        resolve_score_bf16("maybe", 2)
+        resolve_score_bf16("maybe")
 
     params, _ = init_valle(jax.random.PRNGKey(0), tiny_cfg())
     batch = make_batch(jax.random.PRNGKey(1))

@@ -39,7 +39,10 @@ import numpy as np
 
 def wav_bytes(audio: np.ndarray, sample_rate: int = 24000) -> bytes:
     """Minimal RIFF/PCM16 container for an HTTP response body."""
-    pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    # round (not truncate) so pcm16-transferred samples k/32767 map back to
+    # exactly k — same convention as the device quantizer and the native
+    # wav writer (audioio.cpp lrintf)
+    pcm = np.round(np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ",
         16, 1, 1, sample_rate, sample_rate * 2, 2, 16, b"data", len(pcm))
@@ -50,8 +53,9 @@ class ServingWorker(threading.Thread):
     """Coalesces queued requests into batches and runs the engine.
 
     With ``group_size`` set, each drained batch is planned through
-    `serving.plan_groups` (sort by text length — the AR cap is 16x text
-    tokens — longest first, split into group_size engine calls): each
+    `serving.plan_groups` (sort by prompt+text length — the AR cap is
+    16x the tokenized prompt+text — longest first, split into
+    group_size engine calls): each
     group's decode budget then tracks its own longest request instead of
     the whole drain's, which is the measured throughput winner over both
     arrival-order grouping and continuous batching when generation
@@ -116,8 +120,11 @@ class ServingWorker(threading.Thread):
                 ev.set()
 
     def _run(self, reqs):
-        if self.group_size is None or len(reqs) <= self.group_size:
+        if self.group_size is None:
             return self.synth_fn(reqs)
+        # route even drains that fit one group through plan_groups so
+        # engine calls are uniformly longest-first regardless of drain
+        # timing (a single group is just sorted)
         from ..serving import plan_groups
 
         results = [None] * len(reqs)

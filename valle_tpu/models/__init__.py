@@ -86,7 +86,7 @@ def add_model_arguments(parser: argparse.ArgumentParser) -> None:
                              "back to --remat full.")
 
 
-def resolve_score_bf16(mode: str, train_stage: int) -> bool:
+def resolve_score_bf16(mode: str) -> bool:
     """Resolve ``--attn-score-bf16``: "auto" enables bf16 score
     materialization for every training stage — the S x S f32 score
     traffic dominates BOTH steps (in-process A/Bs, BASELINE.md round-3:
@@ -181,8 +181,7 @@ def get_model(params) -> "ValleModel":
         remat=resolve_remat(getattr(params, "remat", "auto"),
                             getattr(params, "train_stage", 0)),
         attn_score_bf16=resolve_score_bf16(
-            getattr(params, "attn_score_bf16", "auto"),
-            getattr(params, "train_stage", 0)),
+            getattr(params, "attn_score_bf16", "auto")),
         model_name="vallf" if "f" in name.replace("vall", "") else "valle",
         d_model=params.decoder_dim,
         nhead=params.nhead,

@@ -70,9 +70,12 @@ class ValleConfig:
     # flash-attention's activation footprint; for shapes where "none"
     # OOMs). Measured A/Bs in BASELINE.md (bench_train_stage.py).
     remat: str = "full"
-    # bf16 score/probability materialization for TRAINING attention (only
-    # engages for bf16 compute with dropout; the score matmul still
-    # accumulates fp32 on the MXU). Halves the dominant S x S HBM traffic
+    # bf16 score/probability materialization for the attention einsum
+    # path (engages whenever inputs are bf16 — training AND deterministic
+    # full-sequence passes such as validation forwards and the NAR
+    # inference passes, which reuse this flag via nar_score_bf16; the
+    # score matmul still accumulates fp32 on the MXU; inert at fp32).
+    # Halves the dominant S x S HBM traffic
     # of the NAR step: measured +21% NAR step throughput on top of
     # remat="none" (94.8 vs 114.5 ms/step, 30.3% MFU — BASELINE.md
     # round-3). Default on for the NAR stage via --attn-score-bf16 auto.

@@ -50,11 +50,21 @@ NEG_INF = -1e30
 _VMEM_BUDGET = 4 * 1024 * 1024
 
 
-def _block_k(H: int, G: int, T: int, itemsize: int) -> int:
-    """Largest 128-multiple block so the (H, G*bk, 128) slot fits VMEM."""
-    bk = _VMEM_BUDGET // (H * G * 128 * itemsize)
-    bk = max(128, (bk // 128) * 128)
-    return min(bk, T)
+def _block_k(H: int, G: int, T: int, D2: int, itemsize: int) -> int:
+    """Largest 128-multiple block such that the (H, G*bk, D2) slot fits
+    the per-slot VMEM budget AND bk divides T (the block loop reads
+    [blk*bk, blk*bk+bk) up to ceil over the max write position — a
+    non-dividing bk would let the last block read past the cache end).
+    128 is the minimum DMA-sliceable block; if the budget computes
+    smaller (e.g. fp32 cache at flagship shape), the floor wins and the
+    buffer exceeds the soft budget — the Mosaic-compile-OOM regime the
+    int8 module documents, acceptable for this measured-and-falsified
+    design (kept for the record; not a default mode)."""
+    bk = (_VMEM_BUDGET // (H * G * D2 * itemsize) // 128) * 128
+    bk = max(128, min(bk, T))
+    while T % bk:
+        bk -= 128
+    return bk
 
 
 def combine_kv(k, v):
@@ -186,7 +196,7 @@ def decode_attention_kv(q, kv_cache, x_lens, write_pos, layer=None, *,
     G = group
     assert B % G == 0 and T % 128 == 0, (B, G, T)
     sm_scale = 1.0 / math.sqrt(D)
-    bk = _block_k(H, G, T, kv_cache.dtype.itemsize)
+    bk = _block_k(H, G, T, D2, kv_cache.dtype.itemsize)
 
     q_t = jnp.transpose(q[:, :, 0, :], (1, 0, 2))  # (H, B, D)
 

@@ -67,11 +67,45 @@ def plan_groups(reqs: Sequence["SynthesisRequest"],
     long one, and running the longest group first shortens the overall
     tail (LPT scheduling). Measured against arrival-order grouping and
     continuous batching in BASELINE.md round-3 (`bench_continuous.py`).
+
+    The sort key is the combined prompt_text+text character length — a
+    host-cheap proxy for the tokenized length the 16x budget is actually
+    derived from (Synthesizer._prepare tokenizes the CONCATENATION, so a
+    long enrolled prompt inflates the budget exactly like long target
+    text; sorting on text alone would misfile such requests into short
+    groups and strand the group on their budget).
     """
-    order = sorted(range(len(reqs)), key=lambda i: len(reqs[i].text),
+    order = sorted(range(len(reqs)),
+                   key=lambda i: len(reqs[i].prompt_text) + len(reqs[i].text),
                    reverse=True)
     return [order[lo: lo + group_size]
             for lo in range(0, len(order), group_size)]
+
+
+def _prep_request(text_tokenizer, audio_tokenizer, r: "SynthesisRequest",
+                  num_quantizers: int):
+    """Shared per-request preprocessing for both schedulers (Synthesizer
+    and ContinuousBatcher pad differently, but the load-bearing rules
+    must stay identical): tokenize prompt_text+text TOGETHER (the 16x
+    decode budget and the prefix-mode text trim are derived from the
+    combined sequence, reference bin/infer.py:225-231); enroll length is
+    len(prompt phonemes)+2, with a bare 2 when there is no prompt text —
+    2 is the identity under trim_enrolled_text (prefix modes 2/4 subtract
+    enroll-2 phonemes; 0 would SHIFT the text and grow text_lens by two
+    padding positions); prompt codes come from precomputed codes, a wav
+    via the codec, or empty. Returns (tokens, enroll_len, prompt_codes)."""
+    from .data.tokenizer import tokenize_audio, tokenize_text
+
+    toks = tokenize_text(text_tokenizer, f"{r.prompt_text} {r.text}".strip())
+    enroll = (len(tokenize_text(text_tokenizer, r.prompt_text)) + 2
+              if r.prompt_text else 2)
+    if r.prompt_codes is not None:
+        pc = np.asarray(r.prompt_codes, np.int32)
+    elif r.prompt_wav:
+        pc = tokenize_audio(audio_tokenizer, r.prompt_wav)[0]
+    else:
+        pc = np.zeros((0, num_quantizers), np.int32)
+    return toks, enroll, pc
 
 
 class Synthesizer:
@@ -167,29 +201,14 @@ class Synthesizer:
 
     # -- preprocessing ------------------------------------------------------
     def _prepare(self, reqs: Sequence[SynthesisRequest]):
-        from .data.tokenizer import tokenize_audio, tokenize_text
-
         token_seqs, enroll_lens, prompt_codes = [], [], []
         for r in reqs:
-            full = f"{r.prompt_text} {r.text}".strip()
-            toks = tokenize_text(self.text_tokenizer, full)
+            toks, enroll, pc = _prep_request(
+                self.text_tokenizer, self.audio_tokenizer, r,
+                self.model.cfg.num_quantizers)
             token_seqs.append(toks)
-            if r.prompt_text:
-                enroll = tokenize_text(self.text_tokenizer, r.prompt_text)
-                enroll_lens.append(len(enroll) + 2)
-            else:
-                # 2 = identity under trim_enrolled_text (prefix modes 2/4
-                # subtract enroll-2 phonemes); 0 would SHIFT the text and
-                # grow text_lens by two padding positions
-                enroll_lens.append(2)
-            if r.prompt_codes is not None:
-                prompt_codes.append(np.asarray(r.prompt_codes, np.int32))
-            elif r.prompt_wav:
-                prompt_codes.append(
-                    tokenize_audio(self.audio_tokenizer, r.prompt_wav)[0])
-            else:
-                prompt_codes.append(
-                    np.zeros((0, self.model.cfg.num_quantizers), np.int32))
+            enroll_lens.append(enroll)
+            prompt_codes.append(pc)
 
         max_tok = max(len(t) for t in token_seqs) + 2
         pad_text = _round_up(max_tok, 16)
@@ -342,24 +361,18 @@ class ContinuousBatcher:
 
     # -- per-request preprocessing (fixed shapes) ---------------------------
     def _prep_one(self, r: SynthesisRequest):
-        from .data.tokenizer import tokenize_audio, tokenize_text
-
-        full = f"{r.prompt_text} {r.text}".strip()
-        toks = tokenize_text(self.text_tokenizer, full)
+        toks, enroll, pc = _prep_request(
+            self.text_tokenizer, self.audio_tokenizer, r,
+            self.model.cfg.num_quantizers)
         if len(toks) + 2 > self.text_pad:
             raise ValueError(
                 f"text ({len(toks)} tokens) exceeds text_pad="
                 f"{self.text_pad}; raise text_pad")
         text_ids, text_lens = self.text_collater.index(
             [toks], pad_to=self.text_pad)
-        enroll = (len(tokenize_text(self.text_tokenizer, r.prompt_text)) + 2
-                  if r.prompt_text else 2)
-        if r.prompt_codes is not None:
-            pc = np.asarray(r.prompt_codes, np.int32)
-        elif r.prompt_wav:
-            pc = tokenize_audio(self.audio_tokenizer, r.prompt_wav)[0]
-        else:
-            pc = np.zeros((0, self.model.cfg.num_quantizers), np.int32)
+        # NOTE: unlike Synthesizer._prepare (which grows P to the batch
+        # max), the slot table's prompt axis is fixed — long prompts are
+        # truncated to prompt_pad
         pc = pc[: self.prompt_pad]
         prompts = np.zeros((1, self.prompt_pad, pc.shape[1]), np.int32)
         prompts[0, : pc.shape[0]] = pc
