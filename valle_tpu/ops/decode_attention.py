@@ -139,8 +139,8 @@ def decode_attention(q, k_cache, v_cache, x_lens, write_pos, *, S: int,
         in_specs=[
             pl.BlockSpec((1, H, D), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, H, D), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -160,8 +160,8 @@ def decode_attention_grouped(q, k_cache, v_cache, x_lens, write_pos, *,
         in_specs=[
             pl.BlockSpec((H, G, D), lambda bg, *_: (0, bg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((H, G, D), lambda bg, *_: (0, bg, 0),
                                memory_space=pltpu.VMEM),

@@ -200,8 +200,8 @@ def decode_attention_int8_grouped(q, kv_cache, scales,
         in_specs=[
             pl.BlockSpec((H, G, D), lambda bg, *_: (0, bg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((H, G, D), lambda bg, *_: (0, bg, 0),
                                memory_space=pltpu.VMEM),

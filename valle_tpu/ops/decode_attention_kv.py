@@ -30,7 +30,8 @@ Exactness: Q/K/V are the same values the XLA path attends over; the only
 difference from ``jax.nn.softmax(q@k)@v`` is online-softmax accumulation
 order (fp32 either way), so greedy tokens match the exact path
 bit-for-bit in practice and to round-off by construction
-(tests/test_decode_kernel_kv.py pins fp32 token equality).
+(tests/test_attention.py::test_ar_decode_kv_grouped_token_equality pins
+fp32 token equality).
 
 Replaces reference hot path /root/reference/valle/models/valle.py:1012-1057
 (full-sequence recompute per token) with an O(valid-cache) kernel read.
@@ -206,7 +207,7 @@ def decode_attention_kv(q, kv_cache, x_lens, write_pos, layer=None, *,
         in_specs=[
             pl.BlockSpec((H, G, D), lambda bg, *_: (0, bg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((H, G, D), lambda bg, *_: (0, bg, 0),
                                memory_space=pltpu.VMEM),

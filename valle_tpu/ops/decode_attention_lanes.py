@@ -192,7 +192,7 @@ def decode_attention_lanes(q, kv_cache, x_lens, write_pos, *, S: int,
         in_specs=[
             pl.BlockSpec((H, G, D), lambda bg, *_: (0, bg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((H, G, D), lambda bg, *_: (0, bg, 0),
                                memory_space=pltpu.VMEM),

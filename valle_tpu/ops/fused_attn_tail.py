@@ -311,10 +311,10 @@ def fused_attn_tail(q, h_res, kv_cache, x_lens, write_pos, layer,
         num_scalar_prefetch=3,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7 + [
-            pl.BlockSpec(memory_space=pltpu.ANY),    # kv cache
-            pl.BlockSpec(memory_space=pltpu.ANY),    # out_w
-            pl.BlockSpec(memory_space=pltpu.ANY),    # w1
-            pl.BlockSpec(memory_space=pltpu.ANY),    # w2
+            pl.BlockSpec(memory_space=pl.ANY),    # kv cache
+            pl.BlockSpec(memory_space=pl.ANY),    # out_w
+            pl.BlockSpec(memory_space=pl.ANY),    # w1
+            pl.BlockSpec(memory_space=pl.ANY),    # w2
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )

@@ -170,7 +170,7 @@ def fused_ln_qkv(h, ln_scale, ln_bias, in_w, in_b, layer, *,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ln bias (1, D)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # in_b (1, 3D)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w scale (1, 3D)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # in_w (L, D, 3D)
+            pl.BlockSpec(memory_space=pl.ANY),    # in_w (L, D, 3D)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
@@ -303,9 +303,9 @@ def fused_tail(attn_out, h_res, out_w, out_b, ln2_scale, ln2_bias,
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10 + [
-            pl.BlockSpec(memory_space=pltpu.ANY),    # out_w
-            pl.BlockSpec(memory_space=pltpu.ANY),    # w1
-            pl.BlockSpec(memory_space=pltpu.ANY),    # w2
+            pl.BlockSpec(memory_space=pl.ANY),    # out_w
+            pl.BlockSpec(memory_space=pl.ANY),    # w1
+            pl.BlockSpec(memory_space=pl.ANY),    # w2
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
