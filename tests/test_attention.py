@@ -225,6 +225,22 @@ def test_kv_block_k_invariants():
         slot_bytes = H * G * bk * D2 * item
         assert slot_bytes <= _VMEM_BUDGET or bk == 128, (bk, slot_bytes)
 
+    # the int8 kernel's block must also divide T (a cache rounded to 128
+    # but not 256 — e.g. the serving shape 769 -> 896 — previously made
+    # the last block read past the cache end), and inference.py's cache
+    # rounding keeps the budget-optimal block at flagship shape
+    from valle_tpu.ops.decode_attention_int8_grouped import (
+        _block_k as i8_block,
+        preferred_block,
+    )
+
+    assert i8_block(16, 8, 1024) == 256        # flagship long cache
+    assert i8_block(16, 8, 896) == 128         # non-256-multiple: shrink
+    assert preferred_block(16) == 256          # ...so allocators round to 256
+    for H, T in [(16, 896), (16, 1024), (4, 512), (8, 384)]:
+        bk = i8_block(H, 8, T)
+        assert bk % 128 == 0 and T % bk == 0, (H, T, bk)
+
 
 def test_lanes_kernel_matches_oracle():
     """Lane-combined contiguous-DMA kernel (interpret) == masked attention

@@ -163,12 +163,23 @@ def valle_ar_decode(
                                   "fused_lanes") and B % 8 != 0:
             decode_kernel_mode = "fused"
         if decode_kernel_mode != "fused":
-            blk = (128 if decode_kernel_mode in ("grouped", "int8_grouped",
-                                                 "fused_int8",
-                                                 "bf16_grouped", "fused_kv",
-                                                 "mega", "lanes_grouped",
-                                                 "fused_lanes")
-                   else BLOCK_K)
+            if decode_kernel_mode in ("int8_grouped", "fused_int8"):
+                # round the cache to the int8 kernel's budget-optimal
+                # block (256 at flagship nhead=16) so _block_k never has
+                # to shrink it to divide T — the long-cache win needs
+                # bk=256 (BASELINE.md round-3); the extra rows are never
+                # read (valid-block skipping)
+                from ..ops.decode_attention_int8_grouped import (
+                    preferred_block,
+                )
+
+                blk = preferred_block(cfg.nhead)
+            elif decode_kernel_mode in ("grouped", "bf16_grouped",
+                                        "fused_kv", "mega",
+                                        "lanes_grouped", "fused_lanes"):
+                blk = 128
+            else:
+                blk = BLOCK_K
             cache_len = ((cache_len + blk - 1) // blk) * blk
 
     x, y = _frontends(params, cfg, text, prompt_q0, dtype, state)

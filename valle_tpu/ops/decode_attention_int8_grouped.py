@@ -54,10 +54,30 @@ _VMEM_BUDGET = 4 * 1024 * 1024
 
 
 def _block_k(H: int, G: int, T: int) -> int:
-    """Largest 128-multiple block so the (H, G*bk, 128) slot fits VMEM."""
+    """Largest 128-multiple block such that the (H, G*bk, 128) slot fits
+    VMEM AND bk divides T: the block loop reads [blk*bk, blk*bk+bk) up
+    to ceil over the group's max write position, so a non-dividing bk
+    would DMA past the cache end (silently — the overread columns are
+    masked, but the read itself is out of bounds). Cache lengths that
+    are multiples of 256 keep the budget-optimal bk=256 at flagship
+    shape (the long-cache win needs it — BASELINE.md round-3); other
+    128-multiples fall back to smaller aligned blocks."""
     bk = _VMEM_BUDGET // (H * G * 128)
     bk = max(128, (bk // 128) * 128)
-    return min(bk, T)
+    bk = min(bk, T)
+    while T % bk:
+        bk -= 128
+    return bk
+
+
+def preferred_block(H: int, G: int = 8) -> int:
+    """The budget-optimal block before the divide-T reduction: cache
+    allocators should round T up to a multiple of this so ``_block_k``
+    keeps the full block size (bk=256 at flagship H=16 — the long-cache
+    win depends on it; models/inference.py uses this for the int8
+    modes' cache rounding)."""
+    bk = _VMEM_BUDGET // (H * G * 128)
+    return max(128, (bk // 128) * 128)
 
 
 def combine_kv_int8(kq, vq):

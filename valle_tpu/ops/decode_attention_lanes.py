@@ -44,9 +44,15 @@ _VMEM_BUDGET = 4 * 1024 * 1024
 
 
 def _block_k(G: int, lanes: int, T: int, itemsize: int) -> int:
+    """Budget block, reduced (8-aligned) until it divides T so the block
+    loop never reads past the cache end and the wrapper's T % bk
+    contract holds for any 8-multiple cache length."""
     bk = _VMEM_BUDGET // (G * lanes * itemsize)
     bk = max(8, (bk // 8) * 8)
-    return min(bk, T)
+    bk = min(bk, T)
+    while T % bk:
+        bk -= 8
+    return bk
 
 
 def combine_kv_lanes(k, v):
