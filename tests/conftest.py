@@ -13,6 +13,15 @@ Must run BEFORE jax initializes its backends. Two things matter here:
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Clear the axon pool address too: the sitecustomize contacts the pool at
+# jax-init time EVEN under JAX_PLATFORMS=cpu, and subprocesses spawned by
+# tests (recipe prepare.sh -> tokenizer/trainer CLIs) inherit os.environ —
+# during a tunnel outage each such child hangs ~25 min in backend init
+# (reproduced 2026-08-18: `JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS=127.0.0.1
+# python -c "import jax; jax.devices()"` hangs; with the var empty it
+# returns instantly). The pytest process itself was unaffected only
+# because jax.config.update below short-circuits before the pool call.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
