@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""AR-stage training throughput: sequence packing vs duration bucketing.
+"""Per-stage training throughput: sequence packing vs duration bucketing.
 
 Builds a synthetic LibriTTS-like corpus (lognormal durations, mean ~5.6 s —
 egs/libritts/README.md:20-28), drives BOTH real data paths end to end
@@ -9,7 +9,14 @@ REAL codec frames per second (padding excluded) plus padding efficiency.
 Methodology per benchmarks/README.md: vary the step rng (fold step index),
 materialize with np.asarray, warm every compiled shape before timing.
 
-Usage: benchmarks/run_tpu.sh benchmarks/bench_train_packing.py [n_utts]
+Usage: benchmarks/run_tpu.sh benchmarks/bench_train_packing.py \
+           [ar|nar] [n_utts] [rows=N] [sbf16|sf32] [small]
+
+The ``nar`` mode benches the NAR stage (train_stage 2, prefix mode 1,
+remat "none" per the --remat auto policy) with ``PackedNarSpeechDataset``
+vs the reference's max-duration-40 bucketing; rows= sets packed rows per
+batch (default: 8 AR / 4 NAR — ~55 s of real audio, near the NAR-stage
+budget ladder measured in bench_train_stage.py).
 """
 
 import sys
@@ -54,12 +61,17 @@ def main():
     from valle_tpu.data.collation import TextTokenCollater
     from valle_tpu.data.dataset import SpeechSynthesisDataset
     from valle_tpu.data.packing import (
+        PackedNarSpeechDataset,
         PackedSpeechDataset,
         SequencePackingSampler,
     )
     from valle_tpu.data.sampler import DynamicBucketingSampler
     from valle_tpu.models import ValleConfig
-    from valle_tpu.models.valle import init_valle, valle_ar_forward_packed
+    from valle_tpu.models.valle import (
+        init_valle,
+        valle_ar_forward_packed,
+        valle_nar_forward_packed,
+    )
     from valle_tpu.training import (
         init_train_state,
         make_optimizer,
@@ -67,6 +79,18 @@ def main():
     )
 
     small = "small" in sys.argv[1:]  # CPU smoke mode
+    stage = "nar" if "nar" in sys.argv[1:] else "ar"
+    train_stage = 2 if stage == "nar" else 1
+    rows_per_batch = 4 if stage == "nar" else 8
+    max_frames = 1024
+    for a in sys.argv[1:]:
+        if a.startswith("rows="):
+            rows_per_batch = int(a.split("=", 1)[1])
+        if a.startswith("frames="):
+            # packed row length: attention is quadratic in it, so shorter
+            # rows trade padding efficiency against attention FLOPs per
+            # real frame (the bucketed comparison pads to ~(S+225+375))
+            max_frames = int(a.split("=", 1)[1])
     # score-dtype arms: "sbf16" = bf16 score materialization only (the
     # trainer's --attn-score-bf16 auto default, BASELINE.md round-3),
     # "sf32" = f32 only; default runs BOTH in one process so the
@@ -78,7 +102,9 @@ def main():
         score_arms = [False]
     else:
         score_arms = [False, True]
-    args = [a for a in sys.argv[1:] if a not in ("small", "sbf16", "sf32")]
+    args = [a for a in sys.argv[1:]
+            if a not in ("small", "sbf16", "sf32", "ar", "nar")
+            and not a.startswith(("rows=", "frames="))]
     n_utts = int(args[0]) if args else (40 if small else 400)
     rng_np = np.random.RandomState(0)
     tmp = tempfile.mkdtemp(prefix="packbench")
@@ -87,24 +113,31 @@ def main():
     # way the reference bounds duration (bin/trainer.py filter, 14 s)
     n0 = len(cuts)
     cuts = cuts.filter(
-        lambda c: c.features.num_frames <= 1024 and len(c.tokens) + 2 <= 256)
+        lambda c: c.features.num_frames <= max_frames
+        and len(c.tokens) + 2 <= 256)
     print(f"corpus: {len(cuts)}/{n0} cuts within packed row capacity",
           flush=True)
     symbols = sorted({t for c in cuts for t in c.tokens})
     collater = TextTokenCollater(symbols)
 
+    # remat per the trainer's --remat auto policy (BASELINE.md round-3):
+    # AR full (md80 OOMs without), NAR none (+19%)
+    remat = "none" if stage == "nar" else "full"
+
     def make_cfg(sbf16):
         if small:
             return ValleConfig(d_model=64, nhead=4, num_layers=2,
                                prefix_mode=1, num_quantizers=8,
-                               max_len=4096, attn_score_bf16=sbf16)
+                               max_len=4096, attn_score_bf16=sbf16,
+                               remat=remat)
         return ValleConfig(d_model=1024, nhead=16, num_layers=12,
                            prefix_mode=1, num_quantizers=8, max_len=4096,
-                           attn_score_bf16=sbf16)
+                           attn_score_bf16=sbf16, remat=remat)
 
     cfg = make_cfg(False)  # param shapes are score-dtype independent
     opt_params, _ = init_valle(jax.random.PRNGKey(0), cfg)
-    opt, lr_fn = make_optimizer(opt_params, base_lr=0.05, train_stage=1)
+    opt, lr_fn = make_optimizer(opt_params, base_lr=0.05,
+                                train_stage=train_stage)
     del opt_params
 
     # rbg dropout keys: the trainer default (+30% step time vs threefry,
@@ -139,10 +172,11 @@ def main():
         }
         print(f"[{name}] {results[name]}", flush=True)
 
-    # ---- bucketed path (reference-style max_duration=80 budget) ----
+    # ---- bucketed path (reference budget: AR md80 / NAR md40) ----
     dataset = SpeechSynthesisDataset(collater)
-    sampler = DynamicBucketingSampler(cuts, max_duration=80, num_buckets=6,
-                                      shuffle=True, seed=1)
+    sampler = DynamicBucketingSampler(
+        cuts, max_duration=(40 if stage == "nar" else 80), num_buckets=6,
+        shuffle=True, seed=1)
     bucket_batches = []
     padded = real = 0
     for b in sampler:
@@ -164,17 +198,22 @@ def main():
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 else x, state.params))
 
-    # ---- packed path (same corpus; 1024-frame rows, 8 rows/batch) ----
-    pdataset = PackedSpeechDataset(collater)
-    psampler = SequencePackingSampler(cuts, max_frames=1024, max_text=256,
-                                      rows_per_batch=8, seed=1)
+    # ---- packed path (same corpus; 1024-frame rows) ----
+    pdataset = (PackedNarSpeechDataset(collater) if stage == "nar"
+                else PackedSpeechDataset(collater))
+    packed_fwd = (valle_nar_forward_packed if stage == "nar"
+                  else valle_ar_forward_packed)
+    audio_key = "nar_codes" if stage == "nar" else "ar_inputs"
+    psampler = SequencePackingSampler(cuts, max_frames=max_frames,
+                                      max_text=256,
+                                      rows_per_batch=rows_per_batch, seed=1)
     packed_batches = []
     padded = real = 0
     for b in psampler:
         bd = pdataset.__getitem__(b.cuts, pad_audio_to=b.pad_audio_to,
                                   pad_text_to=b.pad_text_to)
         mb = {k: jnp.asarray(v) for k, v in bd.items() if k != "utt_id"}
-        padded += int(mb["ar_inputs"].shape[0] * mb["ar_inputs"].shape[1])
+        padded += int(mb[audio_key].shape[0] * mb[audio_key].shape[1])
         real += int(np.sum(bd["row_frames"]))
         packed_batches.append(mb)
     pack_eff = real / max(padded, 1)
@@ -185,16 +224,16 @@ def main():
         acfg = make_cfg(sbf16)
         tag = "sbf16" if sbf16 else "sf32"
         step_bucket = jax.jit(make_train_step(
-            acfg, opt, lr_fn, train_stage=1, accum_steps=1,
+            acfg, opt, lr_fn, train_stage=train_stage, accum_steps=1,
             compute_dtype=jnp.bfloat16))
         time_path(f"bucketed_{tag}", bucket_batches, step_bucket, state,
                   lambda b: int(np.sum(np.asarray(b["audio_lens"]))))
         results[f"bucketed_{tag}"]["padding_efficiency"] = round(
             bucket_eff, 3)
         step_packed = jax.jit(make_train_step(
-            acfg, opt, lr_fn, train_stage=1, accum_steps=1,
+            acfg, opt, lr_fn, train_stage=train_stage, accum_steps=1,
             compute_dtype=jnp.bfloat16,
-            forward_fn=valle_ar_forward_packed))
+            forward_fn=packed_fwd))
         time_path(f"packed_{tag}", packed_batches, step_packed, state,
                   lambda b: int(np.sum(np.asarray(b["row_frames"]))))
         results[f"packed_{tag}"]["padding_efficiency"] = round(pack_eff, 3)
@@ -206,6 +245,8 @@ def main():
             results[f"{path}_bf16_vs_f32_scores"] = round(
                 results[f"{path}_sbf16"]["real_frames_per_sec"]
                 / results[f"{path}_sf32"]["real_frames_per_sec"], 3)
+    results["config"] = {"stage": stage, "rows_per_batch": rows_per_batch,
+                         "max_frames": max_frames, "n_utts": n_utts}
     print(json.dumps(results))
 
 

@@ -179,6 +179,18 @@ def test_train_ar_packed(dataset_dir, tokenized_dir):
     assert (exp / "epoch-1").exists()
 
 
+def test_train_nar_packed(dataset_dir, tokenized_dir):
+    """--nar-pack: sequence-packed NAR training through the trainer CLI."""
+    from valle_tpu.bin.trainer import main as trainer_main
+
+    exp = dataset_dir / "exp_nar_packed"
+    _run_main(trainer_main, _trainer_args(
+        dataset_dir, tokenized_dir, exp, stage=2,
+        extra=("--nar-pack", "true", "--pack-max-frames", "128",
+               "--pack-max-text", "32", "--pack-rows", "2")))
+    assert (exp / "epoch-1").exists()
+
+
 def test_manifest_statistics_cli(tokenized_dir, capsys):
     from valle_tpu.bin.display_manifest_statistics import main as stats_main
 

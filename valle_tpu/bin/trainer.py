@@ -134,7 +134,8 @@ def _model_batch(batch, accum: int, dp: int = 1):
     """
     from ..data.input_strategies import PromptedFeatures
 
-    if "ar_inputs" in batch:  # sequence-packed AR batch: already model-ready
+    if "ar_inputs" in batch or "nar_codes" in batch:
+        # sequence-packed batch (AR or NAR): already model-ready
         out = {k: np.asarray(v) for k, v in batch.items() if k != "utt_id"}
         return _group_batch(out, accum, dp)
 
@@ -450,6 +451,15 @@ def run(args) -> None:
         from ..models.valle import valle_ar_forward_packed
 
         forward_fn = valle_ar_forward_packed
+    if getattr(args, "nar_pack", False):
+        if (args.train_stage != 2 or args.model_name.lower() != "valle"
+                or args.prefix_mode not in (0, 1)):
+            raise SystemExit(
+                "--nar-pack requires --train-stage 2, --model-name valle "
+                "and --prefix-mode 0/1")
+        from ..models.valle import valle_nar_forward_packed
+
+        forward_fn = valle_nar_forward_packed
     step_fn = jax.jit(make_train_step(
         cfg, opt, lr_fn, train_stage=args.train_stage,
         accum_steps=args.accumulate_grad_steps,
@@ -569,6 +579,10 @@ def _diagnose_nonfinite_step(args, model, prev_state, mb, epoch, rng,
         from ..models.valle import valle_ar_forward_packed
 
         forward_fn = valle_ar_forward_packed
+    elif "nar_codes" in mb:  # sequence-packed NAR batch
+        from ..models.valle import valle_nar_forward_packed
+
+        forward_fn = valle_nar_forward_packed
     else:
         forward_fn = valle_forward
 

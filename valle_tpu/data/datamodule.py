@@ -199,6 +199,11 @@ class TtsDataModule:
                            help="AR stage: pack several utterances per "
                                 "fixed-shape row (block-diagonal masks, "
                                 "one compiled shape; train-stage 1 only).")
+        group.add_argument("--nar-pack", type=str2bool, default=False,
+                           help="NAR stage: pack several utterances per "
+                                "fixed-shape bidirectional row (train-stage "
+                                "2, prefix modes 0/1 only; one compiled "
+                                "shape).")
         group.add_argument("--pack-max-frames", type=int, default=1024,
                            help="Packed row audio capacity in codec frames "
                                 "(1024 = 13.6 s at 75 Hz).")
@@ -217,23 +222,39 @@ class TtsDataModule:
     def train_dataloaders(self, cuts_train: CutSet,
                           sampler_state_dict: Optional[dict] = None):
         logging.info("About to create train dataset")
-        if getattr(self.args, "ar_pack", False):
-            from .packing import PackedSpeechDataset, SequencePackingSampler
+        ar_pack = getattr(self.args, "ar_pack", False)
+        nar_pack = getattr(self.args, "nar_pack", False)
+        if ar_pack and nar_pack:
+            raise ValueError("--ar-pack and --nar-pack are per-stage; "
+                             "pass exactly one")
+        if ar_pack or nar_pack:
+            from .packing import (
+                PackedNarSpeechDataset,
+                PackedSpeechDataset,
+                SequencePackingSampler,
+            )
 
             if self.args.on_the_fly_feats:
                 raise ValueError(
-                    "--ar-pack reads precomputed codec features; it does "
-                    "not support --on-the-fly-feats")
-            prepend_bos = bool(getattr(self.args, "prepend_bos", False))
+                    "sequence packing reads precomputed codec features; it "
+                    "does not support --on-the-fly-feats")
+            # the NAR row carries no BOS/EOS positions
+            prepend_bos = bool(getattr(self.args, "prepend_bos", False)
+                               and ar_pack)
             logging.info(
-                "Sequence packing: rows of %d frames / %d text tokens, "
-                "%d rows per batch",
+                "Sequence packing (%s): rows of %d frames / %d text "
+                "tokens, %d rows per batch", "AR" if ar_pack else "NAR",
                 self.args.pack_max_frames, self.args.pack_max_text,
                 self.args.pack_rows)
-            dataset = PackedSpeechDataset(
-                get_text_token_collater(self.args.text_tokens),
-                feature_input_strategy=PrecomputedFeatures(),
-                prepend_bos=prepend_bos)
+            if ar_pack:
+                dataset = PackedSpeechDataset(
+                    get_text_token_collater(self.args.text_tokens),
+                    feature_input_strategy=PrecomputedFeatures(),
+                    prepend_bos=prepend_bos)
+            else:
+                dataset = PackedNarSpeechDataset(
+                    get_text_token_collater(self.args.text_tokens),
+                    feature_input_strategy=PrecomputedFeatures())
             sampler = SequencePackingSampler(
                 cuts_train, max_frames=self.args.pack_max_frames,
                 max_text=self.args.pack_max_text,

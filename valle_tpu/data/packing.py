@@ -12,8 +12,14 @@ Wins on TPU:
 - every batch has the SAME static shape -> exactly one compiled program
   per stage (no bucket shape set at all).
 
-AR stage only: the NAR stage's acoustic-prompt prefix modes operate on
-whole utterances and keep the bucketed path.
+Two model-side consumers share the sampler:
+- AR stage: ``PackedSpeechDataset`` -> ``models.valle.valle_ar_forward_packed``
+  (block-diagonal causal-over-audio mask);
+- NAR stage (prefix modes 0/1): ``PackedNarSpeechDataset`` ->
+  ``models.valle.valle_nar_forward_packed`` (same-segment bidirectional
+  mask; one shared acoustic-prompt prefix_len per step over all packed
+  segments, mirroring the reference's per-batch draw, valle.py:346-362).
+  Prefix modes 2/4 splice prompt segments and keep the bucketed path.
 """
 
 from __future__ import annotations
@@ -245,5 +251,87 @@ class PackedSpeechDataset:
             "ar_targets": ar_targets,
             "audio_seg": audio_seg,
             "audio_pos": audio_pos,
+            "row_frames": row_frames,
+        }
+
+
+class PackedNarSpeechDataset:
+    """rows of cuts -> one fixed-shape packed NAR batch dict.
+
+    Produces the input contract of
+    ``models.valle.valle_nar_forward_packed``: per-position segment ids
+    and PE indices for text and audio regions, ALL-quantizer code rows
+    (the NAR stage embeds every quantizer), and per-row segment lengths
+    (``seg_frames`` (B, max_segments), 0-padded) from which the model
+    draws the shared acoustic-prompt prefix length.
+    """
+
+    def __init__(self, text_token_collater: TextTokenCollater,
+                 feature_input_strategy=None,
+                 max_segments: int = 64) -> None:
+        self.collater = text_token_collater
+        self.strategy = feature_input_strategy or PrecomputedFeatures()
+        self.max_segments = max_segments
+
+    def __getitem__(self, rows: List[List[Cut]], pad_audio_to: int = 0,
+                    pad_text_to: int = 0) -> dict:
+        B, S, T = len(rows), pad_text_to, pad_audio_to
+        text = np.zeros((B, S), np.int32)
+        text_seg = np.full((B, S), -1, np.int32)
+        text_pos = np.zeros((B, S), np.int32)
+        audio_seg = np.full((B, T), -1, np.int32)
+        audio_pos = np.zeros((B, T), np.int32)
+        seg_frames = np.zeros((B, self.max_segments), np.int32)
+        row_frames = np.zeros((B,), np.int32)
+
+        flat = [c for row in rows for c in row]
+        for cut in flat:
+            assert cut.tokens is not None, (
+                f"cut {cut.id} has no text tokens; run the offline "
+                f"tokenizer first")
+        nar_codes = None
+        if flat:
+            feats, f_lens = self.strategy(flat)
+            feats = np.asarray(feats)
+            f_lens = np.asarray(f_lens)
+            tok_ids, tok_lens = self.collater.index(
+                [c.tokens for c in flat])
+            Qn = feats.shape[-1]
+            nar_codes = np.zeros((B, T, Qn), np.int32)
+        n = 0
+        for r, row in enumerate(rows):
+            if len(row) > self.max_segments:
+                raise ValueError(
+                    f"row holds {len(row)} segments > max_segments="
+                    f"{self.max_segments}")
+            s_off = t_off = 0
+            for si, cut in enumerate(row):
+                L = int(tok_lens[n])
+                text[r, s_off:s_off + L] = tok_ids[n, :L]
+                text_seg[r, s_off:s_off + L] = si
+                text_pos[r, s_off:s_off + L] = np.arange(L)
+                s_off += L
+
+                Lf = int(f_lens[n])
+                nar_codes[r, t_off:t_off + Lf] = feats[n, :Lf].astype(
+                    np.int32)
+                audio_seg[r, t_off:t_off + Lf] = si
+                audio_pos[r, t_off:t_off + Lf] = np.arange(Lf)
+                seg_frames[r, si] = Lf
+                t_off += Lf
+                row_frames[r] += Lf
+                n += 1
+        if nar_codes is None:
+            nar_codes = np.zeros((B, T, 8), np.int32)
+
+        return {
+            "utt_id": [c.id for c in flat],
+            "text": text,
+            "text_seg": text_seg,
+            "text_pos": text_pos,
+            "nar_codes": nar_codes,
+            "audio_seg": audio_seg,
+            "audio_pos": audio_pos,
+            "seg_frames": seg_frames,
             "row_frames": row_frames,
         }

@@ -679,6 +679,149 @@ def valle_ar_forward_packed(
     return ar_loss, metrics, state
 
 
+def valle_nar_forward_packed(
+    params,
+    cfg: ValleConfig,
+    batch: Dict[str, jnp.ndarray],
+    *,
+    train_stage: int = 2,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = False,
+    compute_dtype=jnp.float32,
+    state: Optional[Dict] = None,
+    nar_stage: Optional[jnp.ndarray] = None,
+    nar_prefix_len: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict]:
+    """NAR training forward over SEQUENCE-PACKED rows (prefix modes 0/1).
+
+    TPU-native throughput path for NAR-stage training — the stage that
+    dominates the reference recipe's wall clock (epochs 3..40,
+    /root/reference/README.md:106-112). Several utterances share one
+    fixed-shape bidirectional row under a same-segment block mask
+    (``ops.masks.packed_nar_attn_bias``); ONE compiled shape for the
+    whole stage. No reference counterpart (its dynamic bucketing pads to
+    the batch max, valle/data/datamodule.py:324-333).
+
+    batch keys (built by ``data.packing.PackedNarSpeechDataset``):
+      ``text`` (B, S) int32 ids, ``text_seg``/``text_pos`` (B, S),
+      ``nar_codes`` (B, T, Q) int32 with zeros at padding,
+      ``audio_seg``/``audio_pos`` (B, T), ``seg_frames`` (B, K) int32
+      per-row segment lengths (0 for empty slots), ``row_frames`` (B,).
+
+    Per segment the math matches ``valle_forward``'s NAR branch exactly
+    (prefix mode 1: ONE shared prefix_len per step drawn from
+    [min_len/4, min_len/2) over ALL packed segments, capped at
+    max_prefix_len — the packed batch is "the batch" of the reference
+    draw, valle.py:346-362; loss rescaled by total/(total - prefix*n_seg)
+    with n_seg the packed segment count standing in for B). Tested:
+    packed loss == the bucketed forward's loss over the same utterances
+    (tests/test_packing.py).
+
+    ``nar_stage`` / ``nar_prefix_len`` override the in-model random draws
+    (parity tests); training draws them from ``rng`` like valle_forward.
+    """
+    assert train_stage == 2, "packed NAR forward is NAR-stage only"
+    if cfg.add_prenet:
+        raise NotImplementedError("packed NAR rows do not support prenets")
+    if cfg.prefix_mode not in (0, 1):
+        raise NotImplementedError(
+            "packed NAR supports prefix modes 0/1 (modes 2/4 splice "
+            "prompt segments; use the bucketed path)")
+    state = state or {"ar": {}, "nar": {}}
+    training = not deterministic
+    rngs = (jax.random.split(rng, 8) if rng is not None else [None] * 8)
+    nd = cfg.nar_d_model
+    pe_table = _pe_table(cfg, nd)
+    V = cfg.num_audio_tokens
+    Q = cfg.num_quantizers
+
+    text = batch["text"].astype(jnp.int32)
+    text_seg = batch["text_seg"].astype(jnp.int32)
+    codes = batch["nar_codes"].astype(jnp.int32)
+    audio_seg = batch["audio_seg"].astype(jnp.int32)
+    audio_pos = batch["audio_pos"].astype(jnp.int32)
+    seg_frames = batch["seg_frames"].astype(jnp.int32)
+    B, T, _ = codes.shape
+
+    if nar_stage is None:
+        nar_stage = (jax.random.randint(rngs[3], (), 1, Q)
+                     if rngs[3] is not None else jnp.int32(1))
+    else:
+        nar_stage = jnp.asarray(nar_stage, jnp.int32)
+
+    real_seg = seg_frames > 0
+    n_seg = jnp.sum(real_seg).astype(jnp.float32)
+    total = jnp.sum(seg_frames).astype(jnp.float32)
+
+    if cfg.prefix_mode == 1:
+        # one shared prefix_len per step over ALL packed segments
+        # (reference draws one per batch from min(y_lens), valle.py:346)
+        min_len = jnp.min(jnp.where(real_seg, seg_frames, jnp.int32(1 << 30)))
+        int_low = (0.25 * min_len).astype(jnp.int32)
+        if nar_prefix_len is not None:
+            prefix_len = jnp.asarray(nar_prefix_len, jnp.int32)
+        elif rngs[6] is not None:
+            prefix_len = jax.random.randint(
+                rngs[6], (), int_low, jnp.maximum(int_low * 2, int_low + 1))
+        else:
+            prefix_len = int_low
+        prefix_len = jnp.minimum(prefix_len, cfg.max_prefix_len)
+    else:
+        prefix_len = jnp.int32(0)
+
+    seg_valid = audio_seg >= 0
+    region_all = (audio_pos < prefix_len) & seg_valid  # acoustic prompt
+
+    # frontends (gather-PE: every segment restarts its positions at 0)
+    x = emb.token_embedding(params["nar"]["text_emb"], text,
+                            dtype=compute_dtype)
+    x = emb.apply_sine_positional_gather(
+        params["nar"]["text_pe"], x, pe_table, batch["text_pos"],
+        dropout_rate=0.0, rng=rngs[4], deterministic=not training)
+    y_emb = _nar_embedding_sum(
+        params["nar"]["audio_embs"]["weight"], codes[..., 0], codes,
+        nar_stage, region_all, Q, compute_dtype)
+    y = emb.apply_sine_positional_gather(
+        params["nar"]["audio_pe"], y_emb, pe_table, audio_pos,
+        dropout_rate=0.1, rng=rngs[5], deterministic=not training)
+
+    bias = M.packed_nar_attn_bias(text_seg, audio_seg)
+    cond = jnp.take(params["nar"]["stage_embs"]["weight"],
+                    nar_stage - 1, axis=0)[None, :]  # (1, nd)
+    stack_rng = (None if rngs[5] is None
+                 else jax.random.fold_in(rngs[5], 1 << 20))
+    xy = jnp.concatenate([x, y], axis=1)
+    xy_dec = tfm.encoder_stack_apply(
+        params["nar"]["decoder"], xy, bias, cond,
+        nhead=cfg.nar_nhead, norm_first=cfg.norm_first,
+        activation=cfg.activation, dropout_rate=cfg.dropout,
+        rng=stack_rng, deterministic=deterministic, dtype=compute_dtype,
+        remat=(cfg.remat if training else False),
+        score_bf16=cfg.attn_score_bf16)
+    y_dec = xy_dec[:, -T:]
+
+    W = nar_predict_weights(params, cfg)  # (Q-1, nd, V)
+    Wj = (W * jax.nn.one_hot(nar_stage - 1, Q - 1,
+                             dtype=W.dtype)[:, None, None]).sum(0)
+    logits = y_dec @ Wj.astype(y_dec.dtype)  # (B, T, V)
+
+    targets = (codes * jax.nn.one_hot(
+        nar_stage, Q, dtype=codes.dtype)).sum(-1)
+    tgt_full = jnp.where(region_all | ~seg_valid, V, targets)
+    loss_scale = (total / jnp.maximum(
+        total - prefix_len.astype(jnp.float32) * n_seg, 1.0)
+        if cfg.prefix_mode == 1 else jnp.float32(1.0))
+    nar_loss = _cross_entropy_sum(logits, tgt_full, ignore_id=V) * loss_scale
+
+    metrics = {
+        "NarTop10Accuracy": top10_accuracy(logits, tgt_full, ignore_id=V),
+        "nar_loss": nar_loss,
+        "frames": total,
+        "utterances": n_seg,
+    }
+    return nar_loss, metrics, state
+
+
 def valle_visualize_outputs(params, cfg, batch, state=None):
     """(encoder output, codes) for the trainer's --visualize.
 

@@ -118,6 +118,31 @@ def packed_ar_attn_bias(
     return jnp.where(visible, 0.0, NEG_INF).astype(dtype)[:, None, :, :]
 
 
+def packed_nar_attn_bias(
+    text_seg: jnp.ndarray,
+    audio_seg: jnp.ndarray,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """NAR mask for SEQUENCE-PACKED ``[text; audio]`` rows.
+
+    The NAR stack attends BIDIRECTIONALLY over the whole ``[text; audio]``
+    sequence (reference valle.py:889-954 builds key-padding masks only);
+    the packed equivalent is plain same-segment visibility — each
+    position sees every text and audio position of its OWN segment, in
+    both directions, and nothing else. The diagonal stays visible so
+    padded query rows remain finite (their outputs are loss-masked).
+
+    Returns (B, 1, S+T, S+T) additive bias.
+    """
+    seg = jnp.concatenate([text_seg, audio_seg], axis=1)  # (B, St)
+    St = seg.shape[1]
+    same_seg = (seg[:, :, None] == seg[:, None, :]) & (
+        seg[:, :, None] >= 0)  # (B, q, k)
+    eye = jnp.eye(St, dtype=bool)[None]
+    visible = same_seg | eye
+    return jnp.where(visible, 0.0, NEG_INF).astype(dtype)[:, None, :, :]
+
+
 def causal_bias(T: int, dtype=jnp.float32) -> jnp.ndarray:
     """(1, 1, T, T) inclusive-causal (each query sees keys k <= q) additive bias."""
     q = jnp.arange(T)[:, None]
