@@ -10,13 +10,14 @@ Methodology per benchmarks/README.md: vary the step rng (fold step index),
 materialize with np.asarray, warm every compiled shape before timing.
 
 Usage: benchmarks/run_tpu.sh benchmarks/bench_train_packing.py \
-           [ar|nar] [n_utts] [rows=N] [sbf16|sf32] [small]
+           [ar|nar] [n_utts] [rows=N] [frames=N] [sbf16|sf32] [small]
 
 The ``nar`` mode benches the NAR stage (train_stage 2, prefix mode 1,
 remat "none" per the --remat auto policy) with ``PackedNarSpeechDataset``
 vs the reference's max-duration-40 bucketing; rows= sets packed rows per
 batch (default: 8 AR / 4 NAR — ~55 s of real audio, near the NAR-stage
-budget ladder measured in bench_train_stage.py).
+budget ladder measured in bench_train_stage.py); frames= sets the packed
+row length (attention is quadratic in it — the NAR packing tradeoff).
 """
 
 import sys

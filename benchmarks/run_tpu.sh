@@ -18,6 +18,8 @@ pause="${RUN_TPU_SLEEP:-45}"
 # watch live progress (a hung backend init writes nothing; a real run
 # prints per-variant lines as they complete).
 scratch=$(mktemp /tmp/run_tpu.XXXXXX.log)
+echo "[run_tpu] live output: tail -f $scratch" >&2
+trap 'rm -f "$scratch"' EXIT
 for attempt in $(seq 1 "$attempts"); do
   python3 "$@" >"$scratch" 2>&1
   rc=$?
@@ -31,9 +33,7 @@ for attempt in $(seq 1 "$attempts"); do
     continue
   fi
   cat "$scratch"
-  rm -f "$scratch"
   exit $rc
 done
 echo "[run_tpu] $(date -u +%H:%M:%S) chip never became available after $attempts attempts" >&2
-rm -f "$scratch"
 exit 1

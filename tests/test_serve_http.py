@@ -105,6 +105,24 @@ def test_http_server_end_to_end():
         assert body["frames"] == len(body["codes"])
         assert all(len(row) == 8 for row in body["codes"])
 
+        # explicit null prompt_text must degrade to "" (a None would
+        # TypeError inside plan_groups and 500 the whole drain)
+        data = json.dumps({"text": "hello", "prompt_text": None,
+                           "codes_only": True}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize", data=data,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        # non-string text -> 400, not a worker crash
+        bad_text = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize",
+            data=json.dumps({"text": 7}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad_text)
+        assert ei.value.code == 400
+
         # malformed request -> 400
         bad = urllib.request.Request(
             f"http://127.0.0.1:{port}/synthesize", data=b'{"nope": 1}',

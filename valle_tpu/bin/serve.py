@@ -163,9 +163,15 @@ def make_handler(worker: ServingWorker, info: dict):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
+                text = body["text"]
+                if not isinstance(text, str):
+                    raise TypeError("'text' must be a string")
+                # `"prompt_text": null` must degrade to "" (a None would
+                # TypeError inside plan_groups' sort key and fail the
+                # WHOLE coalesced batch, not just this request)
                 req = SynthesisRequest(
-                    text=body["text"],
-                    prompt_text=body.get("prompt_text", ""),
+                    text=text,
+                    prompt_text=body.get("prompt_text") or "",
                     prompt_wav=body.get("prompt_wav"),
                     prompt_codes=(np.asarray(body["prompt_codes"], np.int32)
                                   if body.get("prompt_codes") is not None

@@ -254,7 +254,8 @@ class TtsDataModule:
             else:
                 dataset = PackedNarSpeechDataset(
                     get_text_token_collater(self.args.text_tokens),
-                    feature_input_strategy=PrecomputedFeatures())
+                    feature_input_strategy=PrecomputedFeatures(),
+                    num_quantizers=getattr(self.args, "num_quantizers", 8))
             sampler = SequencePackingSampler(
                 cuts_train, max_frames=self.args.pack_max_frames,
                 max_text=self.args.pack_max_text,

@@ -70,10 +70,16 @@ class SequencePackingSampler:
         seed: int = 0,
         world_size: int = 1,
         rank: int = 0,
+        max_segments: int = 64,
     ) -> None:
         self.cuts = list(cuts)
         self.max_frames = max_frames
         self.max_text = max_text
+        # hard cap on cuts per row: the NAR packed batch materializes a
+        # (rows, max_segments) seg_frames table, so the sampler must
+        # guarantee the bound AT PACKING TIME (a load-time assert would
+        # only fire mid-epoch in a dataloader worker)
+        self.max_segments = max_segments
         self.rows_per_batch = rows_per_batch
         self.prepend_bos = prepend_bos
         self.shuffle = shuffle
@@ -130,7 +136,8 @@ class SequencePackingSampler:
             placed = False
             for slot in open_rows:
                 if (slot[0] + nf <= self.max_frames
-                        and slot[1] + nt <= self.max_text):
+                        and slot[1] + nt <= self.max_text
+                        and len(slot[2]) < self.max_segments):
                     slot[0] += nf
                     slot[1] += nt
                     slot[2].append(c)
@@ -268,10 +275,12 @@ class PackedNarSpeechDataset:
 
     def __init__(self, text_token_collater: TextTokenCollater,
                  feature_input_strategy=None,
-                 max_segments: int = 64) -> None:
+                 max_segments: int = 64,
+                 num_quantizers: int = 8) -> None:
         self.collater = text_token_collater
         self.strategy = feature_input_strategy or PrecomputedFeatures()
         self.max_segments = max_segments
+        self.num_quantizers = num_quantizers
 
     def __getitem__(self, rows: List[List[Cut]], pad_audio_to: int = 0,
                     pad_text_to: int = 0) -> dict:
@@ -321,8 +330,8 @@ class PackedNarSpeechDataset:
                 t_off += Lf
                 row_frames[r] += Lf
                 n += 1
-        if nar_codes is None:
-            nar_codes = np.zeros((B, T, 8), np.int32)
+        if nar_codes is None:  # all rows empty: keep the configured width
+            nar_codes = np.zeros((B, T, self.num_quantizers), np.int32)
 
         return {
             "utt_id": [c.id for c in flat],

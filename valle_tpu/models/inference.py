@@ -173,7 +173,13 @@ def valle_ar_decode(
                     preferred_block,
                 )
 
-                blk = preferred_block(cfg.nhead)
+                # cap at 256: the measured long-cache win is bk=256 at
+                # flagship nhead=16; smaller-head models get a LARGER
+                # budget block (preferred_block(4)=1024) and rounding the
+                # allocation that far would balloon the int8 cache 4-8x
+                # for short generations (the kernel may still use bigger
+                # blocks when they happen to divide T)
+                blk = min(preferred_block(cfg.nhead), 256)
             elif decode_kernel_mode in ("grouped", "bf16_grouped",
                                         "fused_kv", "mega",
                                         "lanes_grouped", "fused_lanes"):

@@ -62,9 +62,7 @@ def _block_k(H: int, G: int, T: int) -> int:
     are multiples of 256 keep the budget-optimal bk=256 at flagship
     shape (the long-cache win needs it — BASELINE.md round-3); other
     128-multiples fall back to smaller aligned blocks."""
-    bk = _VMEM_BUDGET // (H * G * 128)
-    bk = max(128, (bk // 128) * 128)
-    bk = min(bk, T)
+    bk = min(preferred_block(H, G), T)
     while T % bk:
         bk -= 128
     return bk
