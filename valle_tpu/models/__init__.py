@@ -110,8 +110,10 @@ def resolve_remat(remat: str, train_stage: int) -> str:
       +19% step throughput (114.5 vs 136.2 ms/step) and fits at the
       reference's max-duration-40 budget;
     - AR stage / both-stages: "full" — the AR step at max-duration 80
-      OOMs without full remat on a 16 GB chip ("dots" is only
-      throughput-parity, so "full" stays the safe pick).
+      OOMs without full remat on a 16 GB chip; "dots" is only
+      throughput-parity and the selective "scores" policy measured 7%
+      SLOWER than full at B16 (and compile-OOMs at B32), so "full"
+      stays the pick (2026-08-18 A/B, BASELINE.md).
     """
     if remat == "auto":
         return "none" if train_stage == 2 else "full"
