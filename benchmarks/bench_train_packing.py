@@ -10,7 +10,8 @@ Methodology per benchmarks/README.md: vary the step rng (fold step index),
 materialize with np.asarray, warm every compiled shape before timing.
 
 Usage: benchmarks/run_tpu.sh benchmarks/bench_train_packing.py \
-           [ar|nar] [n_utts] [rows=N] [frames=N] [sbf16|sf32] [small]
+           [ar|nar] [n_utts] [rows=N] [frames=N] [sbf16|sf32]
+           [pack-remat=POLICY] [small]
 
 The ``nar`` mode benches the NAR stage (train_stage 2, prefix mode 1,
 remat "none" per the --remat auto policy) with ``PackedNarSpeechDataset``
@@ -105,7 +106,7 @@ def main():
         score_arms = [False, True]
     args = [a for a in sys.argv[1:]
             if a not in ("small", "sbf16", "sf32", "ar", "nar")
-            and not a.startswith(("rows=", "frames="))]
+            and not a.startswith(("rows=", "frames=", "pack-remat="))]
     n_utts = int(args[0]) if args else (40 if small else 400)
     rng_np = np.random.RandomState(0)
     tmp = tempfile.mkdtemp(prefix="packbench")
@@ -122,10 +123,18 @@ def main():
     collater = TextTokenCollater(symbols)
 
     # remat per the trainer's --remat auto policy (BASELINE.md round-3):
-    # AR full (md80 OOMs without), NAR none (+19%)
+    # AR full (md80 OOMs without), NAR none (+19%). The PACKED arm can
+    # need more remat than the bucketed arm — packed NAR rows are ~4x
+    # longer sequences (frames=1024 + 225 prefix + text vs T<=375), and
+    # remat=none OOM'd there (2026-08-18) — so pack-remat= overrides the
+    # packed arm only; each arm then runs at its own deployable policy.
     remat = "none" if stage == "nar" else "full"
+    pack_remat = remat
+    for a in sys.argv[1:]:
+        if a.startswith("pack-remat="):
+            pack_remat = a.split("=", 1)[1]
 
-    def make_cfg(sbf16):
+    def make_cfg(sbf16, remat=remat):
         if small:
             return ValleConfig(d_model=64, nhead=4, num_layers=2,
                                prefix_mode=1, num_quantizers=8,
@@ -231,8 +240,9 @@ def main():
                   lambda b: int(np.sum(np.asarray(b["audio_lens"]))))
         results[f"bucketed_{tag}"]["padding_efficiency"] = round(
             bucket_eff, 3)
+        pcfg = make_cfg(sbf16, remat=pack_remat)
         step_packed = jax.jit(make_train_step(
-            acfg, opt, lr_fn, train_stage=train_stage, accum_steps=1,
+            pcfg, opt, lr_fn, train_stage=train_stage, accum_steps=1,
             compute_dtype=jnp.bfloat16,
             forward_fn=packed_fwd))
         time_path(f"packed_{tag}", packed_batches, step_packed, state,
@@ -247,7 +257,8 @@ def main():
                 results[f"{path}_sbf16"]["real_frames_per_sec"]
                 / results[f"{path}_sf32"]["real_frames_per_sec"], 3)
     results["config"] = {"stage": stage, "rows_per_batch": rows_per_batch,
-                         "max_frames": max_frames, "n_utts": n_utts}
+                         "max_frames": max_frames, "n_utts": n_utts,
+                         "remat": remat, "pack_remat": pack_remat}
     print(json.dumps(results))
 
 

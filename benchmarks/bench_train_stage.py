@@ -109,9 +109,12 @@ def main():
 
     rng = jax.random.key(0, impl="rbg")
     results = {}
-    base_state = None
-    variants = [(r, s, b) for r in remats for s in scores for b in Bs]
-    for remat, score_bf16, B in variants:
+
+    def run_variant(name, remat, score_bf16, B):
+        # Runs in its own frame so EVERY device buffer (batch, train
+        # state, step outputs) dies when it returns/raises — an OOM'd
+        # b=16 arm used to leave its buffers live and crash the NEXT
+        # arm's make_batch (2026-08-18 queue-3 run).
         batch = make_batch(B)
         frames = B * T
         useful = 3 * stack_flops(B, T_seq, 1024, 12, V)
@@ -122,22 +125,12 @@ def main():
         state = state._replace(params=jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, state.params))
-        if base_state is None:
-            base_state = state
         step = jax.jit(make_train_step(
             cfg, opt, lr_fn, train_stage=train_stage, accum_steps=1,
             compute_dtype=jnp.bfloat16))
-        name = (f"{stage}_remat_{remat}" + ("_sbf16" if score_bf16 else "")
-                + (f"_b{B}" if len(Bs) > 1 else ""))
-        print(f"[{name}] compiling...", flush=True)
         t0 = time.perf_counter()
-        try:
-            st, m = step(state, batch, jnp.int32(0), rng)
-            first_loss = float(np.asarray(m["loss"]))
-        except Exception as e:  # OOM etc.: record and move on
-            results[name] = {"error": str(e)[:200]}
-            print(f"[{name}] FAILED: {str(e)[:200]}", flush=True)
-            continue
+        st, m = step(state, batch, jnp.int32(0), rng)
+        first_loss = float(np.asarray(m["loss"]))
         print(f"[{name}] compile+first {time.perf_counter()-t0:.1f}s "
               f"loss={first_loss:.2f}", flush=True)
         for w in range(4):
@@ -151,12 +144,24 @@ def main():
                          jax.random.fold_in(rng, i))
             np.asarray(m["loss"])
         dt = (time.perf_counter() - t0) / n
-        results[name] = {
+        return {
             "ms_per_step": round(dt * 1e3, 1),
             "frames_per_sec": round(frames / dt, 1),
             "mfu_pct": round(100 * useful / dt / V5E_PEAK_BF16, 1),
             "loss": round(first_loss, 3),
         }
+
+    variants = [(r, s, b) for r in remats for s in scores for b in Bs]
+    for remat, score_bf16, B in variants:
+        name = (f"{stage}_remat_{remat}" + ("_sbf16" if score_bf16 else "")
+                + (f"_b{B}" if len(Bs) > 1 else ""))
+        print(f"[{name}] compiling...", flush=True)
+        try:
+            results[name] = run_variant(name, remat, score_bf16, B)
+        except Exception as e:  # OOM etc.: record and move on
+            results[name] = {"error": str(e)[:200]}
+            print(f"[{name}] FAILED: {str(e)[:200]}", flush=True)
+            continue
         print(f"[{name}] {json.dumps(results[name])}", flush=True)
 
     results["config"] = {"stage": stage, "Bs": Bs, "T": T, "S": S,
