@@ -10,7 +10,7 @@ Methodology per benchmarks/README.md: vary the step rng (fold step index),
 materialize with np.asarray, warm every compiled shape before timing.
 
 Usage: benchmarks/run_tpu.sh benchmarks/bench_train_packing.py \
-           [ar|nar] [n_utts] [rows=N] [frames=N] [sbf16|sf32]
+           [ar|nar] [n_utts] [rows=N] [frames=N] [sbf16|sf32] \
            [pack-remat=POLICY] [small]
 
 The ``nar`` mode benches the NAR stage (train_stage 2, prefix mode 1,

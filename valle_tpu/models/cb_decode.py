@@ -215,9 +215,10 @@ def cb_decode_chunk(
         samples = sample(rng_s, logits)
         argmaxes = jnp.argmax(logits, axis=-1)
         # reference stop rule + per-lane budget (the batch path's loop
-        # bound, expressed per slot)
+        # bound, expressed per slot); (g + bos): the reference cap counts
+        # the prepended BOS (valle.py:1047 compares y.len - prompts.len)
         stop = ((argmaxes == eos) | (samples == eos)
-                | (g > x_lens * 16) | (g >= Gmax))
+                | ((g + int(cfg.prepend_bos)) > x_lens * 16) | (g >= Gmax))
         newly = stop & ~done
         gen_lens = jnp.where(newly, g, gen_lens)
         done = done | stop

@@ -269,7 +269,10 @@ def valle_ar_decode(
         rng_c, rng_s = jax.random.split(rng_c)
         samples = sample(rng_s, logits)
         argmaxes = jnp.argmax(logits, axis=-1)
-        over = g > x_lens * 16
+        # reference valle.py:1047 compares y.len - prompts.len, which
+        # INCLUDES the prepended BOS token — the cap fires one step
+        # earlier under prepend_bos
+        over = (g + bos) > x_lens * 16
         stop = (argmaxes == eos) | (samples == eos) | over
         if force_full_length:
             stop = jnp.zeros_like(stop)
@@ -580,7 +583,10 @@ def vallf_ar_decode(
         rng_c, rng_s = jax.random.split(rng_c)
         samples = sample(rng_s, logits)
         argmaxes = jnp.argmax(logits, axis=-1)
-        stop = (argmaxes == eos) | (samples == eos) | (g > x_lens * 16)
+        # (g + bos): the reference cap counts the prepended BOS (see the
+        # matching comment in the VALLE decode body)
+        stop = (argmaxes == eos) | (samples == eos) | (
+            (g + bos) > x_lens * 16)
         if force_full_length:
             stop = jnp.zeros_like(stop)
         newly_done = stop & ~done
