@@ -328,14 +328,15 @@ def save_checkpoint(exp_dir: Path, name: str, params, state, model,
         "text_tokens": str(params.text_tokens),
         "env_info": params.env_info,
     }
-    import jax
-
-    if jax.process_index() == 0:
-        ckpt_lib.save_checkpoint(
-            str(exp_dir), name, params=state.params,
-            state=state.model_state, opt_state=state.opt_state,
-            model_avg=model_avg,
-            sampler_state=sampler_state, run_params=run_params)
+    # NOT rank-gated: orbax saves are collective — every process writes
+    # the shards it owns and process 0 finalizes + writes the sidecar
+    # (see utils/checkpoint.save_checkpoint). Host-only fs work like
+    # pruning stays on process 0.
+    ckpt_lib.save_checkpoint(
+        str(exp_dir), name, params=state.params,
+        state=state.model_state, opt_state=state.opt_state,
+        model_avg=model_avg,
+        sampler_state=sampler_state, run_params=run_params)
 
 
 def run(args) -> None:
@@ -465,10 +466,24 @@ def run(args) -> None:
         accum_steps=args.accumulate_grad_steps,
         compute_dtype=compute_dtype, forward_fn=forward_fn))
 
-    # data (sampler shards batches across processes automatically)
-    if args.world_size_data == 1 and jax.process_count() > 1:
-        args.world_size_data = jax.process_count()
-        args.rank_data = jax.process_index()
+    # Multi-process data policy (the SPMD way, not the DDP way): every
+    # process iterates the IDENTICAL global batch sequence (same cuts,
+    # same seed, same deterministic sampler -> same shapes), and
+    # `_place_batch`'s device_put splits the batch rows over the global
+    # 'data' mesh axis — each host only transfers the shards its own
+    # devices hold. Rank-sharding the sampler instead (the reference's
+    # DDP semantics, trainer.py:867,915) would hand different processes
+    # different bucket SHAPES for the same lockstep step and deadlock
+    # the collective. The cost is redundant host-side collation of rows
+    # a process doesn't own — codec tokens are ~8 B/frame, negligible
+    # next to a train step. Exercised for real by
+    # tests/test_multiprocess.py (2-process trajectory == 1-process).
+    if jax.process_count() > 1 and args.world_size_data != 1:
+        raise SystemExit(
+            "--world-size-data must stay 1 under multi-process training: "
+            "batches are replicated across hosts and row-sharded by the "
+            "mesh (see comment above); rank-sharded sampling would "
+            "desynchronize batch shapes across the lockstep SPMD step")
     dm = TtsDataModule(args)
     train_cuts = filter_short_and_long_utterances(
         dm.train_cuts(), args.filter_min_duration, args.filter_max_duration)
@@ -677,9 +692,20 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
                             params, state, model,
                             sampler_state=train_dl.state_dict(),
                             model_avg=model_avg)
-            ckpt_lib.remove_checkpoints(str(exp_dir), args.keep_last_k)
+            if jax.process_index() == 0:   # single writer prunes too
+                ckpt_lib.remove_checkpoints(str(exp_dir), args.keep_last_k)
 
-        if _PREEMPT["signum"] is not None:
+        preempted = _PREEMPT["signum"] is not None
+        if jax.process_count() > 1:
+            # checkpoint saves are collective (orbax): a SIGTERM landing
+            # on one host only would deadlock the job unless all ranks
+            # agree to save — 4-byte allgather per step, noise vs a
+            # 100+ ms train step
+            from jax.experimental import multihost_utils
+
+            preempted = bool(multihost_utils.process_allgather(
+                np.int32(preempted)).max())
+        if preempted:
             save_checkpoint(exp_dir, "preempted", params, state, model,
                             sampler_state=train_dl.state_dict(),
                             model_avg=model_avg)
@@ -717,7 +743,7 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
                 params, model, state.params, state.model_state, valid_dl,
                 compute_dtype, mesh=mesh)
             logging.info(f"Epoch {epoch}, validation: {valid_info}")
-            if args.visualize:
+            if args.visualize and jax.process_index() == 0:
                 visualize_one_batch(args, model, state, valid_dl,
                                     exp_dir, epoch, compute_dtype)
             if tb_writer is not None:

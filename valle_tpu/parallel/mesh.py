@@ -145,9 +145,27 @@ def setup_distributed() -> None:
     """Multi-host init (DCN): call once per process before device use.
 
     The reference's ``setup_dist``/``cleanup_dist`` equivalent
-    (``bin/trainer.py:867,1073``); no-op on single-host.
+    (``bin/trainer.py:867,1073``); no-op when ``JAX_COORDINATOR_ADDRESS``
+    is unset (single-host). On managed clusters (Cloud TPU pods, Slurm,
+    OpenMPI) jax auto-detects everything and only the address is needed;
+    for a manual launch export all three:
+
+        JAX_COORDINATOR_ADDRESS=host0:12345 \\
+        JAX_NUM_PROCESSES=N JAX_PROCESS_ID=i  python -m valle_tpu.bin.trainer ...
+
+    (jax itself only reads the address env var — the process count/id
+    normally come from cluster auto-detection, so a bare-metal launch
+    must pass them explicitly; exercised for real by
+    ``tests/test_multiprocess.py``.)
     """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(nproc) if nproc else None,
+        process_id=int(pid) if pid else None)

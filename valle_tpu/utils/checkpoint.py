@@ -389,11 +389,24 @@ def save_checkpoint(
     Layout mirrors the reference checkpoint contents (model, optimizer,
     sampler state, params/config — ``bin/trainer.py:436-483``) as orbax
     items plus a JSON sidecar for host-side metadata.
+
+    Multi-process: EVERY process must call this (orbax synchronizes
+    internally and each process writes only the array shards it owns —
+    required for tp>1 where no single host holds the full tree; the
+    reference's rank-0-only torch.save gating deadlocks here). Host-side
+    fs mutations (clearing a stale dir, the JSON sidecar) are done by
+    process 0 alone, with a device barrier between the clear and the
+    save. Exercised by tests/test_multiprocess.py.
     """
     ocp = _ocp()
     path = Path(out_dir).absolute() / name
-    if path.exists():
+    primary = jax.process_index() == 0
+    if primary and path.exists():
         shutil.rmtree(path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt-clear-{name}")
     items = {"params": params}
     if state:
         items["state"] = state
@@ -403,8 +416,9 @@ def save_checkpoint(
         items["model_avg"] = model_avg
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path / "tree", items)
-    meta = {"sampler_state": sampler_state, "run_params": run_params}
-    (path / "meta.json").write_text(json.dumps(meta, default=str))
+    if primary:
+        meta = {"sampler_state": sampler_state, "run_params": run_params}
+        (path / "meta.json").write_text(json.dumps(meta, default=str))
     return str(path)
 
 
@@ -416,7 +430,15 @@ def load_checkpoint(path: str, template=None):
         if template is not None:
             items = ckptr.restore(p / "tree", item=template)
         else:
-            items = ckptr.restore(p / "tree")
+            # restore to host numpy: a checkpoint written by an
+            # N-process sharded job must load in ANY topology (resume on
+            # fewer hosts, export, infer) — shards were materialized to
+            # disk, so ask orbax for plain arrays instead of making it
+            # guess a device sharding for the saved jax.Arrays
+            meta = ckptr.metadata(p / "tree").item_metadata.tree
+            rargs = jax.tree_util.tree_map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+            items = ckptr.restore(p / "tree", restore_args=rargs)
     meta = {}
     mp = p / "meta.json"
     if mp.exists():
