@@ -186,6 +186,130 @@ def test_worker_group_size_splits_and_reorders():
         worker.stop()
 
 
+def test_bounded_queue_sheds_load_and_recovers():
+    """Admission control under a client burst: with a slow engine and a
+    tiny queue, excess clients get an immediate 503 (+Retry-After), the
+    admitted ones complete, and the server serves normally afterwards."""
+    import time
+
+    from valle_tpu.serving import SynthesisRequest
+
+    def slow_synth(reqs):
+        time.sleep(0.25)
+        return [f"ok:{r.text}" for r in reqs]
+
+    worker = ServingWorker(slow_synth, batch_window_ms=50, max_batch=1,
+                           max_queue=2)
+    worker.start()
+    try:
+        results = {}
+
+        def post(i):
+            results[i] = worker.submit(SynthesisRequest(text=f"t{i}"))
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(8)]
+        t0 = time.monotonic()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=30)
+        elapsed = time.monotonic() - t0
+        shed = [i for i, (res, err) in results.items()
+                if err is not None and getattr(err, "code", 0) == 503]
+        served = [i for i, (res, err) in results.items() if err is None]
+        assert len(results) == 8
+        assert shed, "burst above the queue bound must shed load"
+        assert served, "admitted requests must still be served"
+        for i in served:
+            assert results[i][0] == f"ok:t{i}"
+        # shed requests returned immediately, not after the slow engine
+        assert elapsed < 8 * 0.25
+        # server healthy afterwards
+        res, err = worker.submit(SynthesisRequest(text="after"))
+        assert err is None and res == "ok:after"
+    finally:
+        worker.stop()
+
+
+def test_request_deadline_504_and_queued_drop():
+    """A request slower than its deadline 504s; requests still queued at
+    expiry are dropped without occupying an engine slot."""
+    import time
+
+    from valle_tpu.serving import SynthesisRequest
+
+    engine_calls = []
+
+    def slow_synth(reqs):
+        engine_calls.append([r.text for r in reqs])
+        time.sleep(0.5)
+        return [f"ok:{r.text}" for r in reqs]
+
+    worker = ServingWorker(slow_synth, batch_window_ms=10, max_batch=1,
+                           request_timeout_s=0.3)
+    worker.start()
+    try:
+        results = {}
+
+        def post(i):
+            results[i] = worker.submit(SynthesisRequest(text=f"t{i}"))
+
+        # t0 occupies the engine (0.5s > 0.3s deadline) -> 504;
+        # t1..t2 expire while queued -> dropped, never reach the engine
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(3)]
+        for th in threads:
+            th.start()
+            time.sleep(0.02)   # deterministic arrival order
+        for th in threads:
+            th.join(timeout=30)
+        assert all(getattr(err, "code", 0) == 504
+                   for _, err in results.values()), results
+        # queued-but-expired requests never spent engine time
+        time.sleep(1.2)        # let the worker drain everything
+        flat = [t for call in engine_calls for t in call]
+        assert "t0" in flat
+        assert len(flat) <= 2  # at most t0 (+possibly t1 if drained early)
+    finally:
+        worker.stop()
+
+
+def test_http_admission_guards():
+    """Oversized text / prompt_codes -> 413 before touching the engine."""
+    calls = []
+
+    def synth_fn(reqs):
+        calls.append(len(reqs))
+        return ["x"] * len(reqs)
+
+    server, worker = make_server(synth_fn, port=0, batch_window_ms=5,
+                                 max_text_len=50, max_prompt_frames=10)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post_expect(body, code):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/synthesize",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == code
+            return json.loads(ei.value.read())
+
+        body = post_expect({"text": "x" * 100}, 413)
+        assert "too large" in body["error"]
+        post_expect({"text": "hi",
+                     "prompt_codes": [[0] * 8] * 11}, 413)
+        assert calls == []     # guards fire before the engine
+    finally:
+        server.shutdown()
+        worker.stop()
+        server.server_close()
+
+
 def test_worker_surfaces_engine_errors():
     def boom(reqs):
         raise RuntimeError("engine exploded")

@@ -32,9 +32,26 @@ import logging
 import queue
 import struct
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+class ServeError(str):
+    """An error message that also carries its HTTP status code.
+
+    str subclass so existing callers of ``ServingWorker.submit`` keep
+    working (``"..." in err``, json-serializable) while the HTTP layer
+    can map overload/deadline/engine failures to distinct codes.
+    """
+
+    code = 500
+
+    def __new__(cls, msg: str, code: int = 500):
+        s = super().__new__(cls, msg)
+        s.code = code
+        return s
 
 
 def wav_bytes(audio: np.ndarray, sample_rate: int = 24000) -> bytes:
@@ -65,26 +82,49 @@ class ServingWorker(threading.Thread):
     """
 
     def __init__(self, synth_fn, *, batch_window_ms: float = 50.0,
-                 max_batch: int = 32, group_size=None):
+                 max_batch: int = 32, group_size=None,
+                 max_queue: int = 0, request_timeout_s: float = 0.0):
         super().__init__(daemon=True)
         self.synth_fn = synth_fn
         self.batch_window = batch_window_ms / 1e3
         self.max_batch = max_batch
         self.group_size = group_size
-        self.inbox = queue.Queue()
+        # bounded admission: a dead/slow engine must turn into fast 503s,
+        # not an unbounded queue of clients all destined to time out
+        self.inbox = queue.Queue(maxsize=max_queue)
+        self.request_timeout = request_timeout_s
         self._stop = threading.Event()
 
     def submit(self, req):
-        """Blocking submit: returns (result, error)."""
+        """Blocking submit: returns (result, error).
+
+        error is None on success, else a `ServeError` whose ``.code`` is
+        503 (queue full), 504 (deadline exceeded) or 500 (engine).
+        """
         ev = threading.Event()
-        holder = {}
-        self.inbox.put((req, ev, holder))
-        ev.wait()
+        deadline = (time.monotonic() + self.request_timeout
+                    if self.request_timeout else None)
+        holder = {"deadline": deadline}
+        try:
+            self.inbox.put_nowait((req, ev, holder))
+        except queue.Full:
+            return None, ServeError(
+                "server overloaded: request queue is full", 503)
+        if not ev.wait(timeout=self.request_timeout or None):
+            # the worker may still synthesize this request (it could be
+            # mid-batch); flag it so a still-queued entry is dropped
+            # instead of occupying a decode slot for a gone client
+            holder["abandoned"] = True
+            return None, ServeError(
+                f"deadline exceeded ({self.request_timeout:.0f}s)", 504)
         return holder.get("result"), holder.get("error")
 
     def stop(self):
         self._stop.set()
-        self.inbox.put(None)          # wake the worker
+        try:
+            self.inbox.put_nowait(None)   # wake the worker
+        except queue.Full:
+            pass                          # it's busy draining; _stop set
 
     def run(self):
         while not self._stop.is_set():
@@ -103,6 +143,21 @@ class ServingWorker(threading.Thread):
                     break
                 batch.append(nxt)
                 deadline = 0.005      # drain whatever else is in flight
+            # drop requests whose client already gave up (504'd) — a
+            # slot spent on a gone caller starves the live ones
+            live = []
+            now = time.monotonic()
+            for item in batch:
+                _, ev, holder = item
+                dl = holder.get("deadline")
+                if holder.get("abandoned") or (dl is not None and now > dl):
+                    holder["error"] = ServeError("deadline exceeded", 504)
+                    ev.set()
+                else:
+                    live.append(item)
+            batch = live
+            if not batch:
+                continue
             reqs = [b[0] for b in batch]
             try:
                 results = self._run(reqs)
@@ -135,7 +190,8 @@ class ServingWorker(threading.Thread):
         return results
 
 
-def make_handler(worker: ServingWorker, info: dict):
+def make_handler(worker: ServingWorker, info: dict,
+                 max_text_len: int = 2048, max_prompt_frames: int = 2048):
     from ..serving import SynthesisRequest
 
     class Handler(BaseHTTPRequestHandler):
@@ -181,11 +237,30 @@ def make_handler(worker: ServingWorker, info: dict):
                     {"error": f"bad request: {e}"}).encode(),
                     "application/json")
                 return
+            # admission guards: oversized inputs are rejected up front —
+            # the AR budget is 16x the tokenized prompt+text, so an
+            # unbounded text is an unbounded decode slot occupation
+            n_chars = len(req.text) + len(req.prompt_text or "")
+            n_pframes = (0 if req.prompt_codes is None
+                         else int(req.prompt_codes.shape[0]))
+            if n_chars > max_text_len or n_pframes > max_prompt_frames:
+                self._reply(413, json.dumps(
+                    {"error": f"request too large: {n_chars} chars "
+                              f"(max {max_text_len}), {n_pframes} prompt "
+                              f"frames (max {max_prompt_frames})"}).encode(),
+                    "application/json")
+                return
             result, err = worker.submit(req)
             if err is not None or result is None:
-                self._reply(500, json.dumps(
-                    {"error": err or "internal"}).encode(),
-                    "application/json")
+                code = getattr(err, "code", 500)
+                body = json.dumps({"error": str(err or "internal")}).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                if code == 503:
+                    self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
                 return
             if body.get("codes_only"):
                 self._reply(200, json.dumps(
@@ -201,15 +276,20 @@ def make_handler(worker: ServingWorker, info: dict):
 
 def make_server(synth_fn, *, host="127.0.0.1", port=0,
                 batch_window_ms=50.0, max_batch=32, group_size=None,
-                info=None):
+                info=None, max_queue=0, request_timeout_s=0.0,
+                max_text_len=2048, max_prompt_frames=2048):
     """Build (server, worker); worker is started, server is not yet
     serving — call ``server.serve_forever()`` (tests drive it from a
     thread)."""
     worker = ServingWorker(synth_fn, batch_window_ms=batch_window_ms,
-                           max_batch=max_batch, group_size=group_size)
+                           max_batch=max_batch, group_size=group_size,
+                           max_queue=max_queue,
+                           request_timeout_s=request_timeout_s)
     worker.start()
-    server = ThreadingHTTPServer((host, port),
-                                 make_handler(worker, info or {}))
+    server = ThreadingHTTPServer(
+        (host, port),
+        make_handler(worker, info or {}, max_text_len=max_text_len,
+                     max_prompt_frames=max_prompt_frames))
     return server, worker
 
 
@@ -235,6 +315,22 @@ def get_parser():
     parser.add_argument("--batch-window-ms", type=float, default=50.0)
     parser.add_argument("--max-batch", type=int, default=32,
                         help="max requests drained per serving cycle")
+    parser.add_argument("--max-queue", type=int, default=256,
+                        help="admission cap: queued requests beyond this "
+                             "get an immediate 503 + Retry-After instead "
+                             "of waiting forever (0 = unbounded)")
+    parser.add_argument("--request-timeout-s", type=float, default=120.0,
+                        help="per-request deadline: 504 after this long "
+                             "in queue+synthesis (0 = no deadline); "
+                             "expired requests still queued are dropped "
+                             "without occupying a decode slot")
+    parser.add_argument("--max-text-len", type=int, default=2048,
+                        help="admission cap on len(text)+len(prompt_text) "
+                             "in characters (413 beyond; the AR decode "
+                             "budget is 16x the tokenized length)")
+    parser.add_argument("--max-prompt-frames", type=int, default=2048,
+                        help="admission cap on prompt_codes frames "
+                             "(413 beyond)")
     parser.add_argument("--group-size", type=int, default=0,
                         help="static mode: split each drained cycle into "
                              "length-sorted groups of this size (0 = one "
@@ -297,7 +393,10 @@ def main():
         batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
         group_size=(args.group_size or None) if args.mode != "continuous"
         else None,
-        info={"mode": args.mode, "model": model.cfg.model_name})
+        info={"mode": args.mode, "model": model.cfg.model_name},
+        max_queue=args.max_queue, request_timeout_s=args.request_timeout_s,
+        max_text_len=args.max_text_len,
+        max_prompt_frames=args.max_prompt_frames)
     logging.info("serving on %s:%d (%s mode)", args.host,
                  server.server_address[1], args.mode)
     try:
