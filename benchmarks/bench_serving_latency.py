@@ -34,10 +34,16 @@ def main():
 
     args = sys.argv[1:]
     batches = [1, 4, 8, 32]
+    gens = [448]
     modes = []
     for a in args:
         if a.startswith("batches="):
             batches = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a.startswith("gen="):
+            # generation budgets (frames; 75 Hz): short ~192 (2.6 s) vs
+            # long ~448 (6 s) move the KV-cache length across the
+            # resolve_auto_decode_mode boundary
+            gens = [int(x) for x in a.split("=", 1)[1].split(",")]
         else:
             modes.append(a)
     modes = modes or ["exact", "fused", "int8", "auto"]
@@ -60,10 +66,10 @@ def main():
              "distribution across the batch of requests being served",
              "hello world"]
     rng = np.random.RandomState(0)
-    GEN = 448  # ~6 s generation budget
 
     results = {}
-    for mode in modes:
+    for GEN in gens:
+      for mode in modes:
         for B in batches:
             if mode == "int8" and B % 8 != 0:
                 continue  # int8 kernel needs B % 8 == 0 (falls back)
@@ -74,7 +80,8 @@ def main():
                         text=texts[i % len(texts)],
                         prompt_codes=rng.randint(0, 1024, (225, 8)))
                     for i in range(B)]
-            name = f"{mode}_b{B}"
+            name = (f"{mode}_b{B}" if len(gens) == 1
+                    else f"{mode}_b{B}_g{GEN}")
             try:
                 t0 = time.perf_counter()
                 out = synth.synthesize(reqs)

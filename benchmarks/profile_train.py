@@ -200,6 +200,24 @@ def main():
         state, batch, jnp.int32(0), jax.random.fold_in(rng, i))[1]["loss"])
     res["step_nodrop"] = timed("step_nodrop", lambda i: step_nodrop(
         state, batch, jnp.int32(0), jax.random.fold_in(rng, i))[1]["loss"])
+
+    # dropout-mask width A/B, same session: the default step above traced
+    # with 8-bit masks (embedding._DROPOUT_BITS, read at trace time); this
+    # arm re-traces the identical step with 32-bit bernoulli masks
+    from valle_tpu.modules import embedding as emb_mod
+
+    bits_was = emb_mod._DROPOUT_BITS
+    emb_mod._DROPOUT_BITS = 32
+    try:
+        step32 = jax.jit(make_train_step(
+            cfg, opt, lr_fn, train_stage=train_stage, accum_steps=1,
+            compute_dtype=jnp.bfloat16))
+        res["step_drop32"] = timed("step_drop32", lambda i: step32(
+            state, batch, jnp.int32(0),
+            jax.random.fold_in(rng, i))[1]["loss"])
+    finally:
+        emb_mod._DROPOUT_BITS = bits_was
+
     res["opt_only"] = timed("opt_only", lambda i: opt_only(
         state, jnp.float32(1.0 + i)))
 

@@ -83,7 +83,11 @@ def test_inexact_decode_modes_agree_on_trained_weights():
         "audio_lens": jnp.full((B,), T, jnp.int32),
     }
     losses = []
-    for _ in range(150):
+    # 200 steps: at 150 this fixed-seed run can still sit on a plateau
+    # (observed with the 8-bit dropout mask stream: 0.445x at step 150,
+    # 0.003x at 200); the training is only a means to trained logit
+    # margins for the agreement check below
+    for _ in range(200):
         state, metrics = step_fn(state, batch, jnp.int32(0),
                                  jax.random.PRNGKey(2))
         losses.append(float(metrics["loss"]) / float(metrics["frames"]))
@@ -144,7 +148,11 @@ def test_nar_score_bf16_agreement_on_trained_weights():
         "audio_lens": jnp.full((B,), T, jnp.int32),
     }
     losses = []
-    for _ in range(150):
+    # 200 steps: at 150 this fixed-seed run can still sit on a plateau
+    # (observed with the 8-bit dropout mask stream: 0.445x at step 150,
+    # 0.003x at 200); the training is only a means to trained logit
+    # margins for the agreement check below
+    for _ in range(200):
         state, metrics = step_fn(state, batch, jnp.int32(0),
                                  jax.random.PRNGKey(2))
         losses.append(float(metrics["loss"]) / float(metrics["frames"]))

@@ -83,3 +83,41 @@ def test_metrics_tracker():
     items = dict(tot.norm_items())
     assert items["loss"] == 2.0  # 12 / 6 frames
     assert "over" in str(tot)
+
+
+# ---------------------------------------------------------------------------
+# dropout mask sampling (valle_tpu/modules/embedding.py)
+# ---------------------------------------------------------------------------
+
+
+def test_dropout_8bit_masks_unbiased():
+    """The default 8-bit random masks quantize the drop rate to 1/256 but
+    rescale by the QUANTIZED keep probability, so E[dropout(x)] == x; the
+    32-bit bernoulli path stays available via the module flag."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from valle_tpu.modules import embedding as emb
+
+    x = jnp.ones((512, 512), jnp.float32)
+    rate = 0.1
+    for bits in (8, 32):
+        was = emb._DROPOUT_BITS
+        emb._DROPOUT_BITS = bits
+        try:
+            y = np.asarray(emb.dropout(x, rate, jax.random.PRNGKey(0),
+                                       deterministic=False))
+        finally:
+            emb._DROPOUT_BITS = was
+        kept = y != 0.0
+        expected_keep = (1.0 - round(rate * 256) / 256 if bits == 8
+                         else 1.0 - rate)
+        assert abs(kept.mean() - expected_keep) < 5e-3, (bits, kept.mean())
+        # inverted-dropout rescale: surviving values are x / keep_p
+        np.testing.assert_allclose(y[kept], 1.0 / expected_keep, rtol=1e-6)
+        # unbiased estimator: mean over many elements ~ x
+        assert abs(y.mean() - 1.0) < 5e-3, (bits, y.mean())
+    # deterministic path untouched
+    out = emb.dropout(x, rate, None, deterministic=True)
+    assert out is x

@@ -158,36 +158,42 @@ class ServingWorker(threading.Thread):
             batch = live
             if not batch:
                 continue
-            reqs = [b[0] for b in batch]
-            try:
-                results = self._run(reqs)
-                errors = [None] * len(batch)
-                if len(results) != len(batch):   # never hang a client
-                    raise RuntimeError(
-                        f"engine returned {len(results)} results for "
-                        f"{len(batch)} requests")
-            except Exception as e:   # surface per-request
-                logging.exception("synthesis failed")
-                results = [None] * len(batch)
-                errors = [str(e)] * len(batch)
-            for (req, ev, holder), res, err in zip(batch, results, errors):
+            self._run_and_deliver(batch)
+
+    def _run_and_deliver(self, batch):
+        """Run the drained batch; RELEASE each plan_groups group's
+        clients as that group finishes (the tail group's wall must not
+        inflate the head groups' latency), and fail per-group rather
+        than per-drain."""
+
+        def deliver(items, results, err):
+            for (req, ev, holder), res in zip(items, results):
                 holder["result"], holder["error"] = res, err
                 ev.set()
 
-    def _run(self, reqs):
+        def run_one(items):
+            reqs = [b[0] for b in items]
+            try:
+                results = self.synth_fn(reqs)
+                if len(results) != len(reqs):    # never hang a client
+                    raise RuntimeError(
+                        f"engine returned {len(results)} results for "
+                        f"{len(reqs)} requests")
+                deliver(items, results, None)
+            except Exception as e:
+                logging.exception("synthesis failed")
+                deliver(items, [None] * len(items), ServeError(str(e)))
+
         if self.group_size is None:
-            return self.synth_fn(reqs)
+            run_one(batch)
+            return
         # route even drains that fit one group through plan_groups so
         # engine calls are uniformly longest-first regardless of drain
         # timing (a single group is just sorted)
         from ..serving import plan_groups
 
-        results = [None] * len(reqs)
-        for group in plan_groups(reqs, self.group_size):
-            out = self.synth_fn([reqs[i] for i in group])
-            for i, res in zip(group, out):
-                results[i] = res
-        return results
+        for group in plan_groups([b[0] for b in batch], self.group_size):
+            run_one([batch[i] for i in group])
 
 
 def make_handler(worker: ServingWorker, info: dict,

@@ -15,10 +15,22 @@ it composes with jit/scan/while_loop.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# 8 (default): one random byte per keep/drop decision; 32: f32
+# bernoulli. Module-level (not cfg) like transformer.SCORE_BF16 — it
+# changes mask SAMPLING, not model math, and benches flip it per-arm
+# in-process. MEASURED (2026-08-18 amortized micro-bench at the AR
+# attention-prob shape, minus the dispatch floor): bernoulli 0.83
+# ms/apply, direct uint8 bits 0.19 (4.5x); two earlier constructions
+# LOST — a flat global reshape of u32 words (defeated fusion, 2.7x
+# slower step) and a minor-dim u32 bitcast+slice (0.97 ms) — only
+# jax.random.bits(shape, uint8) at the mask's own shape lowers well.
+_DROPOUT_BITS = int(os.environ.get("VALLE_TPU_DROPOUT_BITS", "8"))
 
 
 def init_token_embedding(rng, vocab_size: int, dim: int, dtype=jnp.float32):
@@ -101,7 +113,27 @@ def apply_sine_positional_gather(
 
 
 def dropout(x, rate: float, rng, deterministic: bool):
+    """Inverted dropout with 8-bit random masks by default.
+
+    ``bernoulli`` spends 32 random bits (+ a bits->float conversion) per
+    element; the biggest training mask is the attention-probability
+    matrix — (B, H, T, T) x layers ~ 6.8e8 elements per AR step at the
+    recipe shape, generated TWICE under remat=full. One random byte per
+    element is plenty for a keep/drop decision, and
+    ``jax.random.bits(shape, uint8)`` lowers to 4x fewer generator words
+    (measured 4.5x faster per apply than bernoulli — see the module-flag
+    comment). The keep threshold is quantized to 1/256 with the rescale
+    using the QUANTIZED keep probability, so the estimator stays
+    unbiased (e.g. rate 0.1 -> drop 26/256 = 0.1016, scale 256/230).
+    Set VALLE_TPU_DROPOUT_BITS=32 for the exact-rate bernoulli path.
+    Measured A/B: benchmarks/profile_train.py ladder (BASELINE.md r4).
+    """
     if deterministic or rate == 0.0:
         return x
+    if _DROPOUT_BITS == 8:
+        thresh = int(round(rate * 256.0))
+        keep_p = 1.0 - thresh / 256.0
+        keep = jax.random.bits(rng, x.shape, jnp.uint8) >= thresh
+        return jnp.where(keep, x / keep_p, 0.0)
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0)
