@@ -21,6 +21,11 @@ for fwd+bwd, remat recompute NOT credited) against the v5e bf16 peak of
 Usage:
   benchmarks/run_tpu.sh benchmarks/bench_train_stage.py [ar|nar]
       [remat=full,dots,none] [scorebf16 | score=f32,bf16]
+      [dropout=8,32]
+
+``dropout=`` A/Bs the dropout mask width IN-PROCESS (the module flag is
+read at trace time, and each variant jits its own step), isolating the
+round-4 8-bit-mask win (modules/embedding.py) at the full-step level.
 """
 
 import json
@@ -56,6 +61,10 @@ def main():
                       for s in a.split("=", 1)[1].split(",")]
     if "scorebf16" in args:
         scores = [True]
+    dbits_list = [None]  # None = module default (8 since round 4)
+    for a in args:
+        if a.startswith("dropout="):
+            dbits_list = [int(x) for x in a.split("=", 1)[1].split(",")]
 
     import jax
     import jax.numpy as jnp
@@ -110,11 +119,17 @@ def main():
     rng = jax.random.key(0, impl="rbg")
     results = {}
 
-    def run_variant(name, remat, score_bf16, B):
+    def run_variant(name, remat, score_bf16, B, dbits=None):
         # Runs in its own frame so EVERY device buffer (batch, train
         # state, step outputs) dies when it returns/raises — an OOM'd
         # b=16 arm used to leave its buffers live and crash the NEXT
         # arm's make_batch (2026-08-18 queue-3 run).
+        if dbits is not None:
+            # module flag is read at trace time; each variant jits its
+            # own step below, so setting it here pins THIS variant's mask
+            # width (in-process dropout-bits A/B)
+            from valle_tpu.modules import embedding as _emb
+            _emb._DROPOUT_BITS = dbits
         batch = make_batch(B)
         frames = B * T
         useful = 3 * stack_flops(B, T_seq, 1024, 12, V)
@@ -151,13 +166,15 @@ def main():
             "loss": round(first_loss, 3),
         }
 
-    variants = [(r, s, b) for r in remats for s in scores for b in Bs]
-    for remat, score_bf16, B in variants:
+    variants = [(r, s, b, d) for r in remats for s in scores for b in Bs
+                for d in dbits_list]
+    for remat, score_bf16, B, dbits in variants:
         name = (f"{stage}_remat_{remat}" + ("_sbf16" if score_bf16 else "")
-                + (f"_b{B}" if len(Bs) > 1 else ""))
+                + (f"_b{B}" if len(Bs) > 1 else "")
+                + (f"_d{dbits}" if len(dbits_list) > 1 else ""))
         print(f"[{name}] compiling...", flush=True)
         try:
-            results[name] = run_variant(name, remat, score_bf16, B)
+            results[name] = run_variant(name, remat, score_bf16, B, dbits)
         except Exception as e:  # OOM etc.: record and move on
             results[name] = {"error": str(e)[:200]}
             print(f"[{name}] FAILED: {str(e)[:200]}", flush=True)
