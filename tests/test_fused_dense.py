@@ -142,8 +142,17 @@ def test_resolve_auto_decode_mode():
     # long cache, batch divisible by 8 -> int8
     assert resolve_auto_decode_mode(B=32, S=64, P=224,
                                     max_gen_len=448) == "int8"
-    # long cache but B % 8 != 0 -> fused (int8 kernel needs groups of 8)
+    # small batch -> fused_w8 regardless of cache length (decode is
+    # weight-traffic bound at B <= 4: round-4 serving envelope, +13-29%)
     assert resolve_auto_decode_mode(B=3, S=64, P=224,
+                                    max_gen_len=448) == "fused_w8"
+    assert resolve_auto_decode_mode(B=1, S=64, P=225,
+                                    max_gen_len=150) == "fused_w8"
+    assert resolve_auto_decode_mode(B=4, S=64, P=224,
+                                    max_gen_len=448) == "fused_w8"
+    # B in 5..7 with a long cache: unmeasured gap — stay on the
+    # token-exact fused path (int8 needs B % 8 == 0 anyway)
+    assert resolve_auto_decode_mode(B=6, S=64, P=224,
                                     max_gen_len=448) == "fused"
 
 

@@ -645,14 +645,27 @@ def resolve_auto_decode_mode(*, B: int, S: int, P: int,
     """Pick the fastest measured decode mode for a request shape.
 
     Measured envelope (BASELINE.md, same-session A/Bs on one v5e chip):
-    the fused weight-streaming kernels win at short KV caches (cache 512:
-    3.05 vs int8 3.15 ms/step) and the int8 combined-KV kernel wins once
-    the cache read dominates (cache ~738: int8 8,965 vs fused 6,506
-    frames/s; cache 1024: 4.48 vs 4.85 ms/step). int8 needs B % 8 == 0
-    and is not token-exact (near-tie flips); callers who need exact
-    tokens should pass "exact"/"unroll"/"fused" explicitly.
+
+    * B <= 4: decode is weight-traffic bound, so the int8-weight-streaming
+      fused kernels win at every measured generation length (round-4
+      serving envelope, B/gen grid: B1 gen448 0.322 s vs fused 0.415,
+      +29%; B4 gen448 0.627 vs 0.734, +17%; B1 gen192 +21%, B4 gen192
+      +13%). The crossover is between B=4 and B=8 — at B=8 fused_w8
+      trails fused by ~3% (weight reads amortize over the batch).
+    * short KV caches at B >= 8: the bf16 fused weight-streaming kernels
+      (cache 512: 3.05 vs int8 3.15 ms/step).
+    * long caches at B % 8 == 0: the int8 combined-KV kernel, once the
+      cache read dominates (cache ~738: int8 8,965 vs fused 6,506
+      frames/s; cache 1024: 4.48 vs 4.85 ms/step).
+
+    int8 and fused_w8 are not token-exact (near-tie flips; both are
+    trained-weights-gated at >=98% agreement in
+    tests/test_training_convergence.py); callers who need exact tokens
+    should pass "exact"/"unroll"/"fused" explicitly.
     """
     cache = S + P + max_gen_len + 2
+    if B <= 4:
+        return "fused_w8"
     if cache >= 640 and B % 8 == 0:
         return "int8"
     return "fused"
@@ -688,7 +701,8 @@ def valle_inference(
     "fused_int8" (combined-KV int8 cache + fused-dequant Pallas kernel —
     fastest at long caches, tokens may flip at near-ties; needs valle +
     B % 8 == 0, silently falls back otherwise), or "auto" (pick
-    fused/int8 from the request shape via ``resolve_auto_decode_mode``).
+    fused_w8/fused/int8 from the request shape via
+    ``resolve_auto_decode_mode``).
     Fused modes fall back to "unroll" when the model dims are not
     128-aligned. At large batch (measured B=128) XLA's batched matmuls
     keep pace — fused holds parity there, int8 loses (BASELINE.md).

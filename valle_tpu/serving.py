@@ -162,7 +162,7 @@ class Synthesizer:
         # needs batch % 8 == 0) | "bf16"/"fused_kv"/"lanes"/"fused_lanes"
         # /"mega" (token-exact Pallas attention-kernel modes, batch % 8
         # == 0; see models.inference.valle_inference) | "auto"
-        # (fused/int8 by request shape —
+        # (fused_w8 at B <= 4 / fused / int8 by request shape —
         # see models.inference.resolve_auto_decode_mode)
         self.decode_mode = decode_mode
         # EnCodec decoder precision. Serving defaults to bfloat16 to match
