@@ -125,9 +125,10 @@ def main():
     # remat per the trainer's --remat auto policy (BASELINE.md round-3):
     # AR full (md80 OOMs without), NAR none (+19%). The PACKED arm can
     # need more remat than the bucketed arm — packed NAR rows are ~4x
-    # longer sequences (frames=1024 + 225 prefix + text vs T<=375), and
-    # remat=none OOM'd there (2026-08-18) — so pack-remat= overrides the
-    # packed arm only; each arm then runs at its own deployable policy.
+    # longer sequences (frames=1024 + 225 prefix + text vs T<=375):
+    # remat=none AND remat=scores both OOM'd there (2026-08-18); the
+    # recorded NAR number runs pack-remat=full — so pack-remat= overrides
+    # the packed arm only; each arm runs at its own deployable policy.
     remat = "none" if stage == "nar" else "full"
     pack_remat = remat
     for a in sys.argv[1:]:
