@@ -134,6 +134,7 @@ def main():
         t, i, lat = 0.0, 0, np.zeros(N)
         pending = list(range(N))
         queue = []
+        drains = []                      # drain sizes, for the diagnosis
         while pending or queue:
             if not queue:
                 # idle: jump to the next arrival
@@ -142,6 +143,7 @@ def main():
                 queue.append(i)
                 i += 1
             drain, queue = queue, []
+            drains.append(len(drain))
             if policy == "static":
                 for gi, w, _ in run_static_groups(reqs, drain):
                     t += w
@@ -158,7 +160,7 @@ def main():
                     lat[j] = t - arrivals[j]
             for j in drain:
                 pending.remove(j)
-        return lat, t
+        return lat, t, drains
 
     rng = np.random.RandomState(7)
     for load in loads:
@@ -167,7 +169,7 @@ def main():
         for policy in ("static", "continuous"):
             for p in range(2):            # pass 0 compiles, pass 1 counts
                 reqs = make_reqs(50 + p)
-                lat, makespan = simulate(policy, reqs, arrivals)
+                lat, makespan, drains = simulate(policy, reqs, arrivals)
             audio_s = mean_audio * N
             rec = {
                 "p50_latency_s": round(float(np.percentile(lat, 50)), 2),
@@ -176,6 +178,9 @@ def main():
                 "makespan_s": round(makespan, 1),
                 "rtf_aggregate": round(audio_s / makespan, 1),
                 "arrival_rps": round(rps, 2),
+                "n_drains": len(drains),
+                "mean_drain": round(float(np.mean(drains)), 1),
+                "max_drain": int(np.max(drains)),
             }
             name = f"{policy}_load{load}"
             results[name] = rec
