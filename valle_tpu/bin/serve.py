@@ -74,11 +74,13 @@ class ServingWorker(threading.Thread):
     16x the tokenized prompt+text — longest first, split into
     group_size engine calls): each
     group's decode budget then tracks its own longest request instead of
-    the whole drain's, which is the measured throughput winner over both
-    arrival-order grouping and continuous batching when generation
-    lengths track their caps (BASELINE.md round-3,
-    `bench_continuous.py`). Leave it None for engines that schedule
-    internally (continuous mode).
+    the whole drain's, which is the measured throughput winner for
+    OFFLINE/batch jobs — all requests present up front (BASELINE.md
+    round-3, `bench_continuous.py`). For ONLINE arrivals the measured
+    winner is continuous mode (round-4 `bench_arrival_trace.py`: p50
+    1.45-2.97x, p95 up to 9.4x better at 50-80% load — static's small
+    mixed-length drains strand the serial AR decode). Leave group_size
+    None for engines that schedule internally (continuous mode).
     """
 
     def __init__(self, synth_fn, *, batch_window_ms: float = 50.0,

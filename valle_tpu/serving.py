@@ -65,8 +65,9 @@ def plan_groups(reqs: Sequence["SynthesisRequest"],
     rule), so a batch's decode budget tracks its LONGEST request;
     grouping like-length requests keeps short lanes from idling behind a
     long one, and running the longest group first shortens the overall
-    tail (LPT scheduling). Measured against arrival-order grouping and
-    continuous batching in BASELINE.md round-3 (`bench_continuous.py`).
+    tail (LPT scheduling). Measured winner for OFFLINE batches
+    (BASELINE.md round-3, `bench_continuous.py`); for ONLINE arrivals
+    ContinuousBatcher wins instead (round-4 `bench_arrival_trace.py`).
 
     The sort key is the combined prompt_text+text character length — a
     host-cheap proxy for the tokenized length the 16x budget is actually
