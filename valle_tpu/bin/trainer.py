@@ -633,6 +633,44 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
     tot_loss = MetricsTracker()
     iter_dl = iter(train_dl)
 
+    # Deferred metric reads: `float(metrics["loss"])` every step forces a
+    # host<->device round trip per step, which serializes dispatch — the
+    # host can't run ahead preparing batch N+1 while step N executes, and
+    # on network-attached chips each sync is a full RTT (measured 27.5 ms
+    # on this tunnel; per-step sync costs the AR stage 30% of its step
+    # rate — BASELINE.md round-4, `bench_step_pipelining.py`). Metrics
+    # stay on device and are fetched in ONE batched transfer per
+    # log_interval window; the MetricsTracker recurrence then replays
+    # per step in order, so logged values are bit-identical to the
+    # per-step path (tests/test_trainer_deferred_metrics.py). inf_check
+    # keeps the per-step sync: its contract is catching the FIRST
+    # non-finite step before the next one launches.
+    defer = not args.inf_check
+    pending = []                     # [(batch_idx_train, metrics)] device
+    _METRIC_KEYS = ("loss", "frames", "lr", "grad_norm")
+    stack_metrics = jax.jit(lambda ms: jnp.stack(
+        [jnp.stack([jnp.asarray(m[k], jnp.float32) for k in _METRIC_KEYS])
+         for m in ms]))
+
+    def flush_pending():
+        """Fetch all pending step metrics in one transfer and replay the
+        tracker recurrence; returns the LAST step's (loss, frames, lr,
+        grad_norm) or None if nothing was pending."""
+        nonlocal tot_loss, pending
+        if not pending:
+            return None
+        vals = np.asarray(stack_metrics([m for _, m in pending]))
+        last = None
+        for (bi, _), row in zip(pending, vals):
+            l, f = float(row[0]), float(row[1])
+            cur = MetricsTracker()
+            cur["loss"] = l
+            cur["frames"] = f
+            tot_loss = (tot_loss * (1 - 1.0 / params.reset_interval)) + cur
+            last = (l, f, float(row[2]), float(row[3]))
+        pending = []
+        return last
+
     profiling = False
     for batch_idx, batch in enumerate(iter_dl):
         params.batch_idx_train += 1
@@ -657,24 +695,27 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
             logging.exception(f"train step failed; batch saved to {fname}")
             raise
 
-        loss = float(metrics["loss"])
-        frames = float(metrics["frames"])
-        if args.inf_check and not (np.isfinite(loss) and
-                                   np.isfinite(float(metrics["grad_norm"]))):
-            fname = exp_dir / f"batch-{uuid.uuid4()}.npz"
-            np.savez(fname, **{k: np.asarray(v) for k, v in mb.items()})
-            report = _diagnose_nonfinite_step(args, model, prev_state, mb,
-                                              epoch, rng, compute_dtype)
-            raise FloatingPointError(
-                f"non-finite loss {loss} / grad_norm "
-                f"{float(metrics['grad_norm'])} at batch "
-                f"{params.batch_idx_train}; batch saved to {fname}\n"
-                f"{report}")
+        if defer:
+            pending.append((params.batch_idx_train, metrics))
+        else:
+            loss = float(metrics["loss"])
+            frames = float(metrics["frames"])
+            if args.inf_check and not (np.isfinite(loss) and
+                                       np.isfinite(float(metrics["grad_norm"]))):
+                fname = exp_dir / f"batch-{uuid.uuid4()}.npz"
+                np.savez(fname, **{k: np.asarray(v) for k, v in mb.items()})
+                report = _diagnose_nonfinite_step(args, model, prev_state, mb,
+                                                  epoch, rng, compute_dtype)
+                raise FloatingPointError(
+                    f"non-finite loss {loss} / grad_norm "
+                    f"{float(metrics['grad_norm'])} at batch "
+                    f"{params.batch_idx_train}; batch saved to {fname}\n"
+                    f"{report}")
 
-        cur = MetricsTracker()
-        cur["loss"] = loss
-        cur["frames"] = frames
-        tot_loss = (tot_loss * (1 - 1.0 / params.reset_interval)) + cur
+            cur = MetricsTracker()
+            cur["loss"] = loss
+            cur["frames"] = frames
+            tot_loss = (tot_loss * (1 - 1.0 / params.reset_interval)) + cur
 
         if args.average_period > 0 and (
                 params.batch_idx_train % args.average_period == 0):
@@ -716,7 +757,11 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
             raise SystemExit(0)
 
         if batch_idx % params.log_interval == 0:
-            lr = float(metrics.get("lr", 0.0))
+            if defer:
+                loss, frames, lr, grad_norm = flush_pending()
+            else:
+                lr = float(metrics.get("lr", 0.0))
+                grad_norm = float(metrics["grad_norm"])
             logging.info(
                 f"Epoch {epoch}, batch {batch_idx}, train_stage "
                 f"{args.train_stage}, "
@@ -724,8 +769,7 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
                 f"tot_loss[{tot_loss['loss'] / max(tot_loss['frames'], 1):.4f}]"
                 f", lr: {lr:.2e}")
             if tb_writer is not None:
-                tb_writer.add_scalar("train/grad_norm",
-                                     float(metrics["grad_norm"]),
+                tb_writer.add_scalar("train/grad_norm", grad_norm,
                                      params.batch_idx_train)
                 tb_writer.add_scalar("train/learning_rate", lr,
                                      params.batch_idx_train)
@@ -761,6 +805,7 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
         jax.profiler.stop_trace()
         logging.info(f"profiler trace written to {exp_dir}/profile")
 
+    flush_pending()   # steps since the last log window
     epoch_loss = tot_loss["loss"] / max(tot_loss["frames"], 1)
     if epoch_loss < params.best_train_loss:
         params.best_train_epoch = epoch
