@@ -264,19 +264,38 @@ def compute_validation_loss(params, model, model_params, model_state,
                 transformer_tts_forward, cfg=model.cfg,
                 deterministic=True, compute_dtype=compute_dtype))
         _VALID_FWD_CACHE[key] = fwd
+    # dispatch the whole dev set without per-batch host syncs (same
+    # pipelining rationale as the train loop's deferred metric reads),
+    # then fetch every batch's scalars at once
+    pending, n_utts = [], []
     for batch in valid_dl:
         mb = _model_batch(batch, accum=1,
                           dp=mesh.shape["data"] if mesh is not None else 1)
         if mesh is not None:
             mb = _place_batch(mb, mesh, accum=1)
         loss, metrics, _ = fwd(model_params, batch=mb, state=model_state)
-        frames = float(metrics["frames"])
-        tot["loss"] += float(loss)
-        tot["frames"] += frames
-        tot["utterances"] += len(mb["text"])
-        for k in ("ArTop10Accuracy", "NarTop10Accuracy"):
-            if k in metrics:
-                tot[k] += float(metrics[k]) * frames
+        pending.append(dict(metrics, loss=loss))
+        n_utts.append(len(mb["text"]))
+    if pending:
+        keys = sorted(pending[0])
+        # cached like fwd above: a fresh jit(lambda) each call would
+        # retrace (and over a remote transport, recompile) per validation
+        stack = _VALID_FWD_CACHE.get(("stack", tuple(keys)))
+        if stack is None:
+            stack = jax.jit(lambda ms, _k=tuple(keys): jnp.stack(
+                [jnp.stack([jnp.asarray(m[k], jnp.float32) for k in _k])
+                 for m in ms]))
+            _VALID_FWD_CACHE[("stack", tuple(keys))] = stack
+        stacked = stack(pending)
+        for row, n in zip(np.asarray(stacked), n_utts):
+            vals = dict(zip(keys, row))
+            frames = float(vals["frames"])
+            tot["loss"] += float(vals["loss"])
+            tot["frames"] += frames
+            tot["utterances"] += n
+            for k in ("ArTop10Accuracy", "NarTop10Accuracy"):
+                if k in vals:
+                    tot[k] += float(vals[k]) * frames
     tot.reduce()
     loss_value = tot["loss"] / max(tot["frames"], 1)
     if tot["frames"] == 0:
@@ -648,9 +667,14 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
     defer = not args.inf_check
     pending = []                     # [(batch_idx_train, metrics)] device
     _METRIC_KEYS = ("loss", "frames", "lr", "grad_norm")
-    stack_metrics = jax.jit(lambda ms: jnp.stack(
-        [jnp.stack([jnp.asarray(m[k], jnp.float32) for k in _METRIC_KEYS])
-         for m in ms]))
+    # one jit object for the whole run (module cache): traces are cached
+    # per pending-list length, so epoch 2+ reuses epoch 1's compilations
+    stack_metrics = _VALID_FWD_CACHE.get(("train_stack", _METRIC_KEYS))
+    if stack_metrics is None:
+        stack_metrics = jax.jit(lambda ms: jnp.stack(
+            [jnp.stack([jnp.asarray(m[k], jnp.float32)
+                        for k in _METRIC_KEYS]) for m in ms]))
+        _VALID_FWD_CACHE[("train_stack", _METRIC_KEYS)] = stack_metrics
 
     def flush_pending():
         """Fetch all pending step metrics in one transfer and replay the
