@@ -21,7 +21,12 @@ for fwd+bwd, remat recompute NOT credited) against the v5e bf16 peak of
 Usage:
   benchmarks/run_tpu.sh benchmarks/bench_train_stage.py [ar|nar]
       [remat=full,dots,none] [scorebf16 | score=f32,bf16]
-      [dropout=8,32]
+      [dropout=8,32] [pipe]
+
+``pipe`` times with pipelined dispatch (chain steps, materialize once)
+— the trainer's steady-state regime since its metric reads became
+deferred; without it each timed step pays a transport round trip
+(BASELINE.md round-4, bench_step_pipelining.py).
 
 ``dropout=`` A/Bs the dropout mask width IN-PROCESS (the module flag is
 read at trace time, and each variant jits its own step), isolating the
@@ -65,6 +70,7 @@ def main():
     for a in args:
         if a.startswith("dropout="):
             dbits_list = [int(x) for x in a.split("=", 1)[1].split(",")]
+    pipe = "pipe" in args  # pipelined timing (deferred materialization)
 
     import jax
     import jax.numpy as jnp
@@ -153,11 +159,22 @@ def main():
                          jax.random.fold_in(rng, 100 + w))
             np.asarray(m["loss"])
         n = 8
-        t0 = time.perf_counter()
-        for i in range(n):
-            st, m = step(state, batch, jnp.int32(0),
-                         jax.random.fold_in(rng, i))
+        if pipe:
+            # pipelined: chain state->state, materialize once — the
+            # trainer's steady-state regime now that metric reads are
+            # deferred (bench_step_pipelining.py; trainer.py round-4)
+            n = 12
+            t0 = time.perf_counter()
+            for i in range(n):
+                st, m = step(st, batch, jnp.int32(0),
+                             jax.random.fold_in(rng, i))
             np.asarray(m["loss"])
+        else:
+            t0 = time.perf_counter()
+            for i in range(n):
+                st, m = step(state, batch, jnp.int32(0),
+                             jax.random.fold_in(rng, i))
+                np.asarray(m["loss"])
         dt = (time.perf_counter() - t0) / n
         return {
             "ms_per_step": round(dt * 1e3, 1),

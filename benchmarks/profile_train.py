@@ -191,6 +191,22 @@ def main():
         print(f"[{name}] {ms:.1f} ms", flush=True)
         return ms
 
+    def timed_pipe(name, fn, n=12):
+        """Pipelined: dispatch n calls (rng-varied so the tunnel's
+        identical-input cache can't shortcut), materialize only the
+        last — per-call transport RTT amortizes to ~1/n, matching the
+        trainer's deferred-metrics dispatch regime
+        (bench_step_pipelining.py)."""
+        jax.tree_util.tree_map(np.asarray, fn(0))   # compiled by the
+        t0 = time.perf_counter()                    # sync rung already
+        out = None
+        for i in range(n):
+            out = fn(200 + i)
+        jax.tree_util.tree_map(np.asarray, out)
+        ms = (time.perf_counter() - t0) / n * 1e3
+        print(f"[{name}] {ms:.1f} ms", flush=True)
+        return ms
+
     res = {}
     res["fwd"] = timed("fwd", lambda i: fwd(
         state, batch, jax.random.fold_in(rng, i)))
@@ -221,12 +237,39 @@ def main():
     res["opt_only"] = timed("opt_only", lambda i: opt_only(
         state, jnp.float32(1.0 + i)))
 
+    # ---- pipelined rungs: the RTT-free attribution ---------------------
+    # (each sync rung above pays a full transport round trip per call;
+    # these re-time the already-compiled rungs with deferred
+    # materialization, isolating device time from transport)
+    fwd_det_j = jax.jit(lambda st, b, r: loss_fn(
+        st.params, st.model_state, b, r, deterministic=True)[0])
+    res["fwd_p"] = timed_pipe("fwd_p", lambda i: fwd(
+        state, batch, jax.random.fold_in(rng, i)))
+    res["fwd_nodrop_p"] = timed_pipe("fwd_nodrop_p", lambda i: fwd_det_j(
+        state, batch, jax.random.fold_in(rng, i)))
+    res["fwdbwd_p"] = timed_pipe("fwdbwd_p", lambda i: fwdbwd(
+        state, batch, jax.random.fold_in(rng, i))[1])
+    res["step_p"] = timed_pipe("step_p", lambda i: step(
+        state, batch, jnp.int32(0), jax.random.fold_in(rng, i))[1]["loss"])
+    res["step_nodrop_p"] = timed_pipe(
+        "step_nodrop_p", lambda i: step_nodrop(
+            state, batch, jnp.int32(0),
+            jax.random.fold_in(rng, i))[1]["loss"])
+
     frames = B * T
     res["derived"] = {
         "bwd_ms": round(res["fwdbwd"] - res["fwd"], 1),
         "optimizer_in_step_ms": round(res["step"] - res["fwdbwd"], 1),
         "dropout_ms": round(res["step"] - res["step_nodrop"], 1),
         "frames_per_sec": round(frames / (res["step"] / 1e3), 1),
+        "pipe": {
+            "bwd_ms": round(res["fwdbwd_p"] - res["fwd_p"], 1),
+            "optimizer_in_step_ms": round(
+                res["step_p"] - res["fwdbwd_p"], 1),
+            "dropout_ms": round(res["step_p"] - res["step_nodrop_p"], 1),
+            "fwd_dropout_ms": round(res["fwd_p"] - res["fwd_nodrop_p"], 1),
+            "frames_per_sec": round(frames / (res["step_p"] / 1e3), 1),
+        },
     }
     print(json.dumps(res), flush=True)
 
