@@ -79,9 +79,11 @@ def test_synthesize_batch_dp_mesh():
 
     import pytest
 
+    # kernel modes are allowed on DP-only meshes (shard_map path, see
+    # test_synthesize_dp_mesh_kernel_modes) but still refuse TP shards
     with pytest.raises(ValueError):
         Synthesizer(model, params, tokenizer, collater, audio_tok,
-                    decode_mode="int8", mesh=make_mesh(tp=1))
+                    decode_mode="int8", mesh=make_mesh(tp=2))
 
 
 def test_resolve_nar_score_bf16_policy():
@@ -97,3 +99,50 @@ def test_resolve_nar_score_bf16_policy():
     assert resolve_nar_score_bf16(True, jnp.float32) is True
     with pytest.raises(ValueError):
         resolve_nar_score_bf16("maybe", jnp.bfloat16)
+
+
+def test_synthesize_dp_mesh_kernel_modes():
+    """Pallas kernel decode modes on a DP-only mesh run under shard_map
+    (GSPMD cannot partition a custom call): every device executes the
+    full kernel program on its B/dp rows. Greedy (top-1) tokens must be
+    exactly the single-device tokens; TP meshes must still refuse."""
+    import jax.numpy as jnp
+    import pytest
+
+    from valle_tpu.parallel.mesh import make_mesh
+
+    # 128-aligned dims so the fused kernels actually engage (unaligned
+    # models silently fall back to the unrolled dense path)
+    cfg = ValleConfig(d_model=128, nhead=2, num_layers=2, prefix_mode=1,
+                      num_quantizers=8, max_len=512, max_prefix_len=8)
+    model = ValleModel(cfg)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    tokenizer = TextTokenizer(backend="char")
+    collater = TextTokenCollater(sorted(set("abcdefghijklmnopqrstuvwxyz_")))
+    audio_tok = AudioTokenizer()
+
+    rng = np.random.RandomState(0)
+    reqs = [SynthesisRequest(text=t, prompt_codes=rng.randint(0, 1024, (5, 8)))
+            for t in ("hello there", "another one", "third request")]
+
+    kw = dict(top_k=1, max_gen_len=16, compute_dtype=jnp.float32, seed=7)
+    base = Synthesizer(model, params, tokenizer, collater, audio_tok,
+                       decode_mode="fused", **kw)
+    sharded = Synthesizer(model, params, tokenizer, collater, audio_tok,
+                          decode_mode="fused", mesh=make_mesh(tp=1), **kw)
+    r0 = base.synthesize(reqs, max_gen_len=12)
+    r1 = sharded.synthesize(reqs, max_gen_len=12)
+    assert len(r1) == 3
+    for a, b in zip(r0, r1):
+        np.testing.assert_array_equal(a.codes, b.codes)
+
+    # auto mode resolves against the per-shard batch and runs end to end
+    auto = Synthesizer(model, params, tokenizer, collater, audio_tok,
+                       decode_mode="auto", mesh=make_mesh(tp=1), **kw)
+    r2 = auto.synthesize(reqs, max_gen_len=12)
+    assert len(r2) == 3 and all(r.frames > 0 for r in r2)
+
+    # tensor parallelism still cannot feed a single-device kernel
+    with pytest.raises(ValueError):
+        Synthesizer(model, params, tokenizer, collater, audio_tok,
+                    decode_mode="fused", mesh=make_mesh(tp=2), **kw)

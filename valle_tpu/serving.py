@@ -132,18 +132,28 @@ class Synthesizer:
         self.model = model
         # mesh: a ('data','model') jax.sharding.Mesh scales one serving
         # process over all local chips — requests shard over 'data', params
-        # carry the TP rules ('model' axis; replicated at tp=1). The int8
-        # decode kernel is a Pallas custom call XLA cannot partition, so it
-        # is mesh-exclusive.
+        # carry the TP rules ('model' axis; replicated at tp=1). Pallas
+        # custom calls are opaque to GSPMD, so kernel decode modes cannot
+        # ride jit auto-partitioning — but on a DP-only mesh (tp=1, params
+        # replicated) they run under shard_map instead: every device
+        # executes the full kernel program on its batch shard
+        # (_mesh_kernel_inference below). TP meshes keep the exact/unroll
+        # restriction (a sharded weight matrix cannot feed a single-device
+        # kernel).
         self.mesh = mesh
+        self._mesh_fn_cache = {}
+        kernel_modes = ("int8", "fused", "fused_int8", "fused_w8", "bf16",
+                        "fused_kv", "lanes", "fused_lanes", "mega", "auto")
+        self._mesh_shard_kernels = False
         if mesh is not None:
-            if decode_mode in ("int8", "fused", "fused_int8", "fused_w8",
-                               "bf16", "fused_kv", "lanes", "fused_lanes",
-                               "mega", "auto"):
-                raise ValueError(
-                    f"decode_mode='{decode_mode}' is single-device (Pallas "
-                    "custom calls do not partition); use 'exact' or "
-                    "'unroll'")
+            if decode_mode in kernel_modes:
+                if mesh.shape.get("model", 1) != 1:
+                    raise ValueError(
+                        f"decode_mode='{decode_mode}' needs whole weight "
+                        "matrices on each device (Pallas kernels stream "
+                        "full weights); with tensor parallelism use "
+                        "'exact' or 'unroll'")
+                self._mesh_shard_kernels = True
             from .parallel.mesh import param_shardings
 
             params = jax.device_put(params, param_shardings(params, mesh))
@@ -267,16 +277,22 @@ class Synthesizer:
         text_ids, text_lens, prompts, p_lens, enroll_lens = batch
 
         self._rng, step_rng = jax.random.split(self._rng)
-        codes, gen_lens = valle_inference(
-            self.params, self.model.cfg,
-            jnp.asarray(text_ids), jnp.asarray(text_lens),
-            jnp.asarray(prompts), jnp.asarray(p_lens),
-            enroll_x_lens=jnp.asarray(enroll_lens),
-            top_k=self.top_k, temperature=self.temperature,
-            rng=step_rng, max_gen_len=gen_budget,
-            compute_dtype=self.compute_dtype,
-            decode_mode=self.decode_mode, state=self.model_state,
-            nar_score_bf16=self.nar_score_bf16)
+        if self._mesh_shard_kernels:
+            codes, gen_lens = self._mesh_kernel_inference(
+                (jnp.asarray(text_ids), jnp.asarray(text_lens),
+                 jnp.asarray(prompts), jnp.asarray(p_lens),
+                 jnp.asarray(enroll_lens)), gen_budget, step_rng)
+        else:
+            codes, gen_lens = valle_inference(
+                self.params, self.model.cfg,
+                jnp.asarray(text_ids), jnp.asarray(text_lens),
+                jnp.asarray(prompts), jnp.asarray(p_lens),
+                enroll_x_lens=jnp.asarray(enroll_lens),
+                top_k=self.top_k, temperature=self.temperature,
+                rng=step_rng, max_gen_len=gen_budget,
+                compute_dtype=self.compute_dtype,
+                decode_mode=self.decode_mode, state=self.model_state,
+                nar_score_bf16=self.nar_score_bf16)
         # decode the PADDED batch on-device (same static shape as the
         # decode program), then trim the padding rows per request
         wavs = self.audio_tokenizer.decode(np.asarray(codes),
@@ -291,6 +307,67 @@ class Synthesizer:
             out.append(SynthesisResult(
                 wav=wavs[i, : n * 320], codes=codes[i, :n], frames=n))
         return out
+
+    def _mesh_kernel_inference(self, batch, gen_budget, rng):
+        """Kernel decode modes on a DP mesh via shard_map.
+
+        GSPMD cannot partition a Pallas custom call, so jit
+        auto-partitioning (the exact/unroll mesh path) is out for the
+        fused/int8 kernels. On a tp=1 mesh the params are whole on every
+        device, so each device instead runs the COMPLETE decode program
+        on its B/dp batch rows under `shard_map` — same recipe as the
+        reference's per-GPU DDP serving but over ICI, with zero
+        cross-device traffic during decode. The sampling rng forks per
+        shard (fold_in on the 'data' axis index), so sampled outputs
+        differ from the single-device draw order; greedy/top-1 tokens
+        are exactly the single-device tokens
+        (tests/test_serving.py::test_synthesize_dp_mesh_kernel_modes).
+        """
+        import jax
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from .models import valle_inference
+        from .models.inference import resolve_auto_decode_mode
+
+        mesh = self.mesh
+        dp = mesh.shape["data"]
+        B, S = batch[0].shape
+        Bs = B // dp                     # per-shard batch rows
+        mode = self.decode_mode
+        if mode == "auto":
+            # resolve with the PER-SHARD batch: that is the shape each
+            # device's kernel actually sees
+            mode = resolve_auto_decode_mode(
+                B=Bs, S=S, P=batch[2].shape[1], max_gen_len=gen_budget)
+        if mode in ("int8", "fused_int8", "bf16", "fused_kv", "lanes",
+                    "fused_lanes", "mega") and Bs % 8 != 0:
+            mode = "fused"               # per-shard grouped-mode rule
+        key = (B, S, batch[2].shape[1], int(batch[4].shape[0]),
+               gen_budget, mode)
+        fn = self._mesh_fn_cache.get(key)
+        if fn is None:
+            cfg = self.model.cfg
+            top_k, temp = self.top_k, self.temperature
+            cd, nsb = self.compute_dtype, self.nar_score_bf16
+
+            def body(params, mstate, text, tl, pr, pl, el, r):
+                r = jax.random.fold_in(r, jax.lax.axis_index("data"))
+                return valle_inference(
+                    params, cfg, text, tl, pr, pl, enroll_x_lens=el,
+                    top_k=top_k, temperature=temp, rng=r,
+                    max_gen_len=gen_budget, compute_dtype=cd,
+                    decode_mode=mode, state=mstate, nar_score_bf16=nsb)
+
+            pspec = jax.tree_util.tree_map(lambda _: P(), self.params)
+            sspec = jax.tree_util.tree_map(lambda _: P(), self.model_state)
+            d = P("data")
+            fn = jax.jit(shard_map(
+                body, mesh=mesh,
+                in_specs=(pspec, sspec, d, d, d, d, d, P()),
+                out_specs=(d, d), check_rep=False))
+            self._mesh_fn_cache[key] = fn
+        return fn(self.params, self.model_state, *batch, rng)
 
 
 class ContinuousBatcher:
