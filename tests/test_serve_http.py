@@ -321,3 +321,46 @@ def test_worker_surfaces_engine_errors():
         assert res is None and "engine exploded" in err
     finally:
         worker.stop()
+
+
+def test_http_server_dp_mesh_kernel_engine():
+    """--dp static serving end to end: a DP-mesh Synthesizer with a
+    kernel decode mode behind the HTTP worker (the bin/serve.py --dp
+    wiring builds exactly this engine)."""
+    from valle_tpu.parallel.mesh import make_mesh
+
+    cfg = ValleConfig(d_model=128, nhead=2, num_layers=2, prefix_mode=1,
+                      num_quantizers=8, max_len=512, max_prefix_len=8)
+    model = ValleModel(cfg)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    synth = Synthesizer(
+        model, params, TextTokenizer(backend="char"),
+        TextTokenCollater(sorted(set("abcdefghijklmnopqrstuvwxyz_ "))),
+        AudioTokenizer(), top_k=1, max_gen_len=16,
+        compute_dtype=jnp.float32, decode_mode="fused",
+        mesh=make_mesh(tp=1))
+
+    server, worker = make_server(
+        lambda reqs: synth.synthesize(reqs, max_gen_len=12),
+        port=0, batch_window_ms=50, info={"mode": "static"})
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        data = json.dumps({
+            "text": "hello mesh",
+            "prompt_codes": np.random.RandomState(0).randint(
+                0, 1024, (5, 8)).tolist()}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize", data=data,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            blob = r.read()
+        with wave.open(io.BytesIO(blob)) as w:
+            assert w.getframerate() == 24000
+            assert w.getnframes() > 0
+    finally:
+        server.shutdown()
+        worker.stop()
+        server.server_close()

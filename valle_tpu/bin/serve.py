@@ -349,6 +349,11 @@ def get_parser():
                         help="continuous mode: queue admission order "
                              "(lpt = longest text first, the measured "
                              "throughput winner)")
+    parser.add_argument("--dp", type=int, default=0,
+                        help="static mode: shard each batch over the first "
+                        "N local devices (DP-only mesh). All decode modes "
+                        "work — Pallas kernel modes run under shard_map, "
+                        "each chip decoding its B/N rows. 0 = one device.")
     parser.add_argument("--max-gen-len", type=int, default=1024)
     parser.add_argument("--top-k", type=int, default=-100)
     parser.add_argument("--temperature", type=float, default=1.0)
@@ -386,14 +391,26 @@ def main():
                   nar_score_bf16=args.nar_score_bf16,
                   wav_transfer=args.wav_transfer)
     if args.mode == "continuous":
+        if args.dp:
+            raise SystemExit("--dp applies to static mode (the continuous "
+                             "batcher's slot state is single-device)")
         engine = ContinuousBatcher(
             model, params, tok, collater, audio_tok, slots=args.slots,
             text_pad=args.text_pad, chunk=args.chunk,
             admission=args.admission, **common)
         synth_fn = engine.run
     else:
+        mesh = None
+        if args.dp:
+            import jax
+
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(dp=args.dp, tp=1,
+                             devices=jax.devices()[: args.dp])
         engine = Synthesizer(model, params, tok, collater, audio_tok,
-                             decode_mode=args.decode_mode, **common)
+                             decode_mode=args.decode_mode, mesh=mesh,
+                             **common)
         synth_fn = engine.synthesize
 
     server, worker = make_server(
