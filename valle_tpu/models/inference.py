@@ -662,6 +662,12 @@ def resolve_auto_decode_mode(*, B: int, S: int, P: int,
     trained-weights-gated at >=98% agreement in
     tests/test_training_convergence.py); callers who need exact tokens
     should pass "exact"/"unroll"/"fused" explicitly.
+
+    B here is the PADDED batch (serving snaps request counts to the
+    1/2/4/8/16/24... grid before decode), so there is no separate
+    B in {5..7} regime: those coalesce to B=8, where fused vs fused_w8
+    is a measured noise-band tie (BASELINE.md round-4) and the
+    token-exact fused wins the tiebreak.
     """
     cache = S + P + max_gen_len + 2
     if B <= 4:
