@@ -406,6 +406,11 @@ def main():
 
             from ..parallel.mesh import make_mesh
 
+            n_dev = len(jax.devices())
+            if args.dp > n_dev:
+                raise SystemExit(
+                    f"--dp {args.dp} exceeds the {n_dev} available "
+                    f"device(s); pass --dp <= {n_dev}")
             mesh = make_mesh(dp=args.dp, tp=1,
                              devices=jax.devices()[: args.dp])
         engine = Synthesizer(model, params, tok, collater, audio_tok,

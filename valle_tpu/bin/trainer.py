@@ -717,6 +717,8 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
             fname = exp_dir / f"batch-{uuid.uuid4()}.npz"
             np.savez(fname, **{k: np.asarray(v) for k, v in mb.items()})
             logging.exception(f"train step failed; batch saved to {fname}")
+            if defer:
+                flush_pending()  # tot_loss reflects every completed step
             raise
 
         if defer:
@@ -771,6 +773,8 @@ def train_one_epoch(args, params, model, state, step_fn, train_dl, valid_dl,
             preempted = bool(multihost_utils.process_allgather(
                 np.int32(preempted)).max())
         if preempted:
+            if defer:
+                flush_pending()  # tot_loss reflects every completed step
             save_checkpoint(exp_dir, "preempted", params, state, model,
                             sampler_state=train_dl.state_dict(),
                             model_avg=model_avg)

@@ -663,11 +663,14 @@ def resolve_auto_decode_mode(*, B: int, S: int, P: int,
     tests/test_training_convergence.py); callers who need exact tokens
     should pass "exact"/"unroll"/"fused" explicitly.
 
-    B here is the PADDED batch (serving snaps request counts to the
-    1/2/4/8/16/24... grid before decode), so there is no separate
-    B in {5..7} regime: those coalesce to B=8, where fused vs fused_w8
-    is a measured noise-band tie (BASELINE.md round-4) and the
-    token-exact fused wins the tiebreak.
+    B here is usually the PADDED batch (serving snaps request counts to
+    the 1/2/4/8/16/24... grid before decode), so single-device serving
+    has no separate B in {5..7} regime: those coalesce to B=8, where
+    fused vs fused_w8 is a measured noise-band tie (BASELINE.md round-4)
+    and the token-exact fused wins the tiebreak. One caller CAN still
+    land here with B in {5..7}: the DP shard_map path resolves on the
+    PER-SHARD batch Bs = B/dp (e.g. B=24, dp=4 -> Bs=6), which simply
+    falls through to 'fused' — the same pick as the padded-B=8 tie.
     """
     cache = S + P + max_gen_len + 2
     if B <= 4:

@@ -324,7 +324,7 @@ class Synthesizer:
         (tests/test_serving.py::test_synthesize_dp_mesh_kernel_modes).
         """
         import jax
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         from .models import valle_inference
@@ -365,7 +365,7 @@ class Synthesizer:
             fn = jax.jit(shard_map(
                 body, mesh=mesh,
                 in_specs=(pspec, sspec, d, d, d, d, d, P()),
-                out_specs=(d, d), check_rep=False))
+                out_specs=(d, d), check_vma=False))
             self._mesh_fn_cache[key] = fn
         return fn(self.params, self.model_state, *batch, rng)
 
