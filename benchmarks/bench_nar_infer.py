@@ -68,12 +68,15 @@ def main():
         q0_pool = [jnp.asarray(rng.randint(0, 1024, (B, GEN)), jnp.int32)
                    for _ in range(12)]
 
-        for name, sb in (("nar_f32", False), ("nar_bf16", True)):
-            def run(i, sb=sb):
+        for name, sb, impl in (("nar_f32", False, "einsum"),
+                               ("nar_bf16", True, "einsum"),
+                               ("nar_flash", False, "flash")):
+            def run(i, sb=sb, impl=impl):
                 return valle_nar_decode(
                     params, cfg, text, text_lens, prompts, p_lens,
                     q0_pool[i % len(q0_pool)], g_lens,
-                    compute_dtype=jnp.bfloat16, score_bf16=sb)
+                    compute_dtype=jnp.bfloat16, score_bf16=sb,
+                    attn_impl=impl)
             t0 = time.perf_counter()
             np.asarray(run(0))
             print(f"# {name}_b{B} compile+first "

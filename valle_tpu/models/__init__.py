@@ -70,6 +70,17 @@ def add_model_arguments(parser: argparse.ArgumentParser) -> None:
                              "regardless). 'auto' = on: measured +36%% "
                              "AR / +21%% NAR step throughput at loss "
                              "parity (BASELINE.md round-3).")
+    parser.add_argument("--attn-impl", type=str, default="auto",
+                        choices=("auto", "einsum", "flash"),
+                        help="Training-attention implementation: einsum "
+                             "(XLA; S x S scores/probs materialize to HBM) "
+                             "or flash (fused fwd+bwd Pallas kernels with "
+                             "in-kernel dropout; ops/flash_mha.py). 'auto' "
+                             "picks the measured winner per backend "
+                             "(models.resolve_attn_impl). flash changes "
+                             "the dropout mask draw only (unbiased either "
+                             "way); deterministic/fp32 forwards are "
+                             "parity-exact. VALL-F always uses einsum.")
     parser.add_argument("--remat", type=str, default="auto",
                         help="Training rematerialization policy: auto | "
                              "full | dots | none | scores ('scores' saves "
@@ -100,6 +111,21 @@ def resolve_score_bf16(mode: str) -> bool:
     if mode in ("off", "0", "false"):
         return False
     raise ValueError(f"unknown attn-score-bf16 mode {mode!r}")
+
+
+def resolve_attn_impl(mode: str, model_name: str = "valle") -> str:
+    """Resolve ``--attn-impl``. "auto" currently maps to "einsum" — the
+    measured round-4 baseline — until the round-5 step-level A/B
+    (benchmarks/bench_train_stage.py ``--attn-impl``) proves the flash
+    kernels at the recipe shapes; VALL-F's decoder stack has no flash
+    path and always resolves to einsum."""
+    if model_name == "vallf":
+        return "einsum"
+    if mode == "auto":
+        return "einsum"
+    if mode in ("einsum", "flash"):
+        return mode
+    raise ValueError(f"unknown attn-impl {mode!r}")
 
 
 def resolve_remat(remat: str, train_stage: int) -> str:
@@ -179,12 +205,15 @@ def get_model(params) -> "ValleModel":
 
     if name not in ("vall-e", "valle", "vall-f", "vallf"):
         raise ValueError(f"unknown model name {params.model_name!r}")
+    model_name = "vallf" if "f" in name.replace("vall", "") else "valle"
     cfg = ValleConfig(
         remat=resolve_remat(getattr(params, "remat", "auto"),
                             getattr(params, "train_stage", 0)),
         attn_score_bf16=resolve_score_bf16(
             getattr(params, "attn_score_bf16", "auto")),
-        model_name="vallf" if "f" in name.replace("vall", "") else "valle",
+        attn_impl=resolve_attn_impl(
+            getattr(params, "attn_impl", "auto"), model_name),
+        model_name=model_name,
         d_model=params.decoder_dim,
         nhead=params.nhead,
         num_layers=params.num_decoder_layers,

@@ -371,7 +371,8 @@ def valle_ar_decode(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "score_bf16"))
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "score_bf16",
+                                   "attn_impl"))
 def valle_nar_decode(
     params,
     cfg: ValleConfig,
@@ -385,6 +386,7 @@ def valle_nar_decode(
     compute_dtype=jnp.float32,
     state=None,
     score_bf16: bool = False,
+    attn_impl: str = "einsum",
 ) -> jnp.ndarray:
     """7 sequential NAR argmax passes. Returns codes (B, G, Q).
 
@@ -398,6 +400,12 @@ def valle_nar_decode(
     same policy as NAR-stage training. Argmax codes may flip at
     near-ties, so serving gates it like the other inexact decode modes
     (trained-weights agreement, tests/test_training_convergence.py).
+
+    ``attn_impl="flash"`` routes each pass's attention through the fused
+    Pallas kernel (ops/flash_mha.py): the padding mask is rebuilt in VMEM
+    from key-validity codes and the (B, H, T, T) score matrix never
+    reaches HBM (``score_bf16`` is then moot). Deterministic softmax math
+    either way; valle only (the vallf decoder stack has cross-attention).
     """
     B, S = text.shape
     P = prompt_codes.shape[1]
@@ -437,6 +445,7 @@ def valle_nar_decode(
                 embs_w[j], pc[..., j], axis=0).astype(dtype)
 
     is_vallf = cfg.model_name == "vallf"
+    fspec = None
     # attention bias: padding only
     if is_vallf:
         kk = jnp.arange(P + G)[None, :]
@@ -451,8 +460,14 @@ def valle_nar_decode(
             kk < S, kk < x_lens[:, None],
             jnp.where(kk < S + P, (kk - S) < p_lens[:, None],
                       (kk - S - P) < g_lens[:, None]))
-        bias = jnp.where(key_valid, 0.0, M.NEG_INF).astype(jnp.float32)[
-            :, None, None, :]
+        if attn_impl == "flash":
+            qc, kc = M.flash_codes_key_valid(key_valid)
+            fspec = {"qcode": qc, "kcode": kc}
+            bias = None
+        else:
+            bias = jnp.where(key_valid, 0.0, M.NEG_INF).astype(jnp.float32)[
+                :, None, None, :]
+            fspec = None
 
     # PE positions: prompt 0..P-1 (static ok: invalid slots masked);
     # generated at p_lens + t (per-sample offset)
@@ -491,7 +506,8 @@ def valle_nar_decode(
                 params["nar"]["decoder"], seq, bias, cond,
                 nhead=cfg.nar_nhead, norm_first=cfg.norm_first,
                 activation=cfg.activation, dropout_rate=0.0,
-                deterministic=True, dtype=dtype, score_bf16=score_bf16)
+                deterministic=True, dtype=dtype, score_bf16=score_bf16,
+                flash_spec=fspec)
         Wi = jnp.take(W, i, axis=0).astype(dtype)  # (nd, V)
         logits = dec[:, -G:] @ Wi                  # (B, G, V)
         samples = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -697,6 +713,7 @@ def valle_inference(
     decode_mode: str = "exact",
     state=None,
     nar_score_bf16: bool = False,
+    nar_attn_impl: str = "einsum",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full zero-shot synthesis: AR decode then NAR refinement.
 
@@ -718,6 +735,10 @@ def valle_inference(
 
     ``nar_score_bf16``: store NAR-pass attention scores in bfloat16
     (see ``valle_nar_decode``; inert at fp32 compute).
+
+    ``nar_attn_impl``: "einsum" | "flash" — NAR-pass attention
+    implementation (see ``valle_nar_decode``; forced to einsum for
+    vallf, whose decoder stack has cross-attention).
 
     Returns (codes (B, max_gen_len, Q), gen_lens (B,)).
     """
@@ -782,7 +803,9 @@ def valle_inference(
     codes = valle_nar_decode(
         params, cfg, nar_text, nar_text_lens, prompt_codes, prompt_lens,
         gen_q0, gen_lens, compute_dtype=compute_dtype, state=state,
-        score_bf16=nar_score_bf16)
+        score_bf16=nar_score_bf16,
+        attn_impl=("einsum" if cfg.model_name == "vallf"
+                   else nar_attn_impl))
     return codes, gen_lens
 
 

@@ -80,6 +80,17 @@ class ValleConfig:
     # remat="none" (94.8 vs 114.5 ms/step, 30.3% MFU — BASELINE.md
     # round-3). Default on for the NAR stage via --attn-score-bf16 auto.
     attn_score_bf16: bool = False
+    # training-attention implementation: "einsum" (XLA; scores/probs
+    # materialize to HBM, attn_score_bf16 applies) or "flash" (the fused
+    # fwd+bwd Pallas kernel pair, ops/flash_mha.py: masks rebuilt in VMEM
+    # from int32 codes, dropout drawn in-kernel from the hardware PRNG,
+    # no S x S HBM materialization in either direction). Applies to the
+    # VALLE encoder-stack forwards (AR/NAR, bucketed and packed); the
+    # VALLF decoder stack always uses the einsum path. Flash changes the
+    # dropout mask DRAW (not the estimator), so losses move within the
+    # seed-to-seed band; deterministic/fp32 forwards stay parity-exact
+    # (tests/test_flash_mha.py). Resolver: models.resolve_attn_impl.
+    attn_impl: str = "einsum"
 
     @property
     def nar_d_model(self) -> int:
@@ -371,8 +382,14 @@ def valle_forward(
             rng=rngs[0], training=training, dtype=compute_dtype)
         y_len_ar = T + int(cfg.prepend_bos)
         ar_y_lens = y_lens + int(cfg.prepend_bos)
-        bias = M.ar_xy_attn_bias(x_lens, ar_y_lens, S, y_len_ar,
-                                 dtype=jnp.float32)
+        if cfg.attn_impl == "flash":
+            bias = None
+            qc, kc = M.flash_codes_ar_xy(x_lens, ar_y_lens, S, y_len_ar)
+            fspec = {"qcode": qc, "kcode": kc}
+        else:
+            bias = M.ar_xy_attn_bias(x_lens, ar_y_lens, S, y_len_ar,
+                                     dtype=jnp.float32)
+            fspec = None
         y_pos = _ar_audio_frontend(
             params, cfg, ar_y, rng=rngs[1], training=training,
             dtype=compute_dtype)
@@ -383,7 +400,7 @@ def valle_forward(
             activation=cfg.activation, dropout_rate=cfg.dropout,
             rng=rngs[2], deterministic=deterministic, dtype=compute_dtype,
             remat=(cfg.remat if training else False),
-        score_bf16=cfg.attn_score_bf16)
+        score_bf16=cfg.attn_score_bf16, flash_spec=fspec)
         logits = xy_dec[:, S:] @ params["ar"]["predict"]["w"].astype(
             xy_dec.dtype)  # (B, y_len_ar, V+1)
         # (prepend_bos: targets already include all y_len_ar positions)
@@ -443,6 +460,14 @@ def _nar_embedding_sum(embs_w, nar_y, codes, nar_stage, region_all_mask,
     return acc
 
 
+def _nar_padding_mask(cfg, x_lens, y_lens, S, T):
+    """(bias, flash_spec) for the NAR padding-only mask, per cfg.attn_impl."""
+    if cfg.attn_impl == "flash":
+        qc, kc = M.flash_codes_padding(x_lens, y_lens, S, T)
+        return None, {"qcode": qc, "kcode": kc}
+    return M.padding_attn_bias(x_lens, y_lens, S, T), None
+
+
 def _nar_branch(params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
                 nar_stage, batch, rngs, training, deterministic,
                 compute_dtype, prefix_len_override=None,
@@ -467,7 +492,7 @@ def _nar_branch(params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
         y_pos = _nar_audio_post(params, cfg, y_emb, rng=rngs[5],
                                 training=training)
         xy = jnp.concatenate([xn, y_pos], axis=1)
-        bias = M.padding_attn_bias(x_lens, y_lens, S, T)
+        bias, fspec = _nar_padding_mask(cfg, x_lens, y_lens, S, T)
         loss_scale = jnp.float32(1.0)
         tgt_full = targets
 
@@ -491,7 +516,7 @@ def _nar_branch(params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
         y_pos = _nar_audio_post(params, cfg, y_emb, rng=rngs[5],
                                 training=training)
         xy = jnp.concatenate([xn, y_pos], axis=1)
-        bias = M.padding_attn_bias(x_lens, y_lens, S, T)
+        bias, fspec = _nar_padding_mask(cfg, x_lens, y_lens, S, T)
         # loss only on positions >= prefix_len (reference slices targets)
         tgt_full = jnp.where(region_all, V, targets)
         loss_scale = total_length / (
@@ -559,8 +584,14 @@ def _nar_branch(params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
             kk < S, kk < x_lens[:, None],
             jnp.where(kk < Sp, (kk - S) < prompt_lens[:, None],
                       (kk - Sp) < y_lens[:, None]))
-        bias = jnp.where(key_valid, 0.0, M.NEG_INF).astype(jnp.float32)[
-            :, None, None, :]
+        if cfg.attn_impl == "flash":
+            bias = None
+            qc, kc = M.flash_codes_key_valid(key_valid)
+            fspec = {"qcode": qc, "kcode": kc}
+        else:
+            bias = jnp.where(key_valid, 0.0, M.NEG_INF).astype(jnp.float32)[
+                :, None, None, :]
+            fspec = None
     else:
         raise ValueError(f"unsupported prefix_mode {cfg.prefix_mode}")
 
@@ -574,7 +605,7 @@ def _nar_branch(params, cfg, xn, x_lens, nar_y, codes, y_lens, y_mask_int,
         activation=cfg.activation, dropout_rate=cfg.dropout,
         rng=stack_rng, deterministic=deterministic, dtype=compute_dtype,
         remat=(cfg.remat if training else False),
-        score_bf16=cfg.attn_score_bf16)
+        score_bf16=cfg.attn_score_bf16, flash_spec=fspec)
     y_dec = xy_dec[:, -T:]  # the y region is always the trailing T positions
 
     W = nar_predict_weights(params, cfg)  # (Q-1, nd, V)
@@ -643,7 +674,14 @@ def valle_ar_forward_packed(
         params["ar"]["audio_pe"], y, pe_table, batch["audio_pos"],
         dropout_rate=0.1, rng=rngs[1], deterministic=not training)
 
-    bias = M.packed_ar_attn_bias(text_seg, audio_seg)
+    if cfg.attn_impl == "flash":
+        bias = None
+        qc, kc, qs, ks = M.flash_codes_packed_ar(text_seg, audio_seg)
+        fspec = {"qcode": qc, "kcode": kc, "qseg": qs, "kseg": ks,
+                 "add_diag": True}
+    else:
+        bias = M.packed_ar_attn_bias(text_seg, audio_seg)
+        fspec = None
     xy = jnp.concatenate([x, y], axis=1)
     xy_dec = tfm.encoder_stack_apply(
         params["ar"]["decoder"], xy, bias, None,
@@ -651,7 +689,7 @@ def valle_ar_forward_packed(
         activation=cfg.activation, dropout_rate=cfg.dropout,
         rng=rngs[2], deterministic=deterministic, dtype=compute_dtype,
         remat=(cfg.remat if training else False),
-        score_bf16=cfg.attn_score_bf16)
+        score_bf16=cfg.attn_score_bf16, flash_spec=fspec)
     S = text.shape[1]
     logits = xy_dec[:, S:] @ params["ar"]["predict"]["w"].astype(
         xy_dec.dtype)  # (B, T, V+1)
@@ -785,7 +823,14 @@ def valle_nar_forward_packed(
         params["nar"]["audio_pe"], y_emb, pe_table, audio_pos,
         dropout_rate=0.1, rng=rngs[5], deterministic=not training)
 
-    bias = M.packed_nar_attn_bias(text_seg, audio_seg)
+    if cfg.attn_impl == "flash":
+        bias = None
+        qc, kc, qs, ks = M.flash_codes_packed_nar(text_seg, audio_seg)
+        fspec = {"qcode": qc, "kcode": kc, "qseg": qs, "kseg": ks,
+                 "add_diag": True}
+    else:
+        bias = M.packed_nar_attn_bias(text_seg, audio_seg)
+        fspec = None
     cond = jnp.take(params["nar"]["stage_embs"]["weight"],
                     nar_stage - 1, axis=0)[None, :]  # (1, nd)
     stack_rng = (None if rngs[5] is None
@@ -797,7 +842,7 @@ def valle_nar_forward_packed(
         activation=cfg.activation, dropout_rate=cfg.dropout,
         rng=stack_rng, deterministic=deterministic, dtype=compute_dtype,
         remat=(cfg.remat if training else False),
-        score_bf16=cfg.attn_score_bf16)
+        score_bf16=cfg.attn_score_bf16, flash_spec=fspec)
     y_dec = xy_dec[:, -T:]
 
     W = nar_predict_weights(params, cfg)  # (Q-1, nd, V)

@@ -142,14 +142,29 @@ def _merge_heads(x):
 
 
 def _attend(q, k, v, bias, *, dropout_rate=0.0, rng=None, deterministic=True,
-            score_bf16=None):
+            score_bf16=None, flash_spec=None):
     """q,k,v: (B, H, T, Dh); bias broadcastable to (B, H, Tq, Tk).
 
-    Deterministic calls (inference/NAR passes, prefill, validation) route
-    through the Pallas flash kernel on TPU; attention-dropout training steps
-    use the einsum path (the reference applies dropout on the probabilities,
-    activation.py:12, which the fused kernel does not model).
+    ``flash_spec`` (dict: qcode, kcode, optional qseg/kseg/add_diag — see
+    ops/flash_mha.py and ops/masks.flash_codes_*) routes the call through
+    the fused fwd+bwd Pallas training-attention kernel: the mask is rebuilt
+    in VMEM from the codes (``bias`` is ignored and may be None), dropout
+    on the probabilities is drawn in-kernel from the hardware PRNG, and
+    the S x T score/probability matrices never reach HBM in either
+    direction. Otherwise the einsum path materializes scores/probs (bf16
+    under ``score_bf16``, the round-3 win) with XLA-side mask application
+    and dropout — the reference's semantics (activation.py:12) either way.
     """
+    if flash_spec is not None:
+        from ..ops.flash_mha import flash_mha_train
+
+        return flash_mha_train(
+            q, k, v, flash_spec["qcode"], flash_spec["kcode"],
+            qseg=flash_spec.get("qseg"), kseg=flash_spec.get("kseg"),
+            add_diag=flash_spec.get("add_diag", False),
+            dropout_rate=(0.0 if deterministic or rng is None
+                          else dropout_rate),
+            rng=rng, interpret=jax.default_backend() != "tpu")
     if score_bf16 is None:
         score_bf16 = SCORE_BF16   # env override for benches/experiments
     sdt = (jnp.bfloat16 if score_bf16 and q.dtype == jnp.bfloat16
@@ -189,7 +204,8 @@ def _attend(q, k, v, bias, *, dropout_rate=0.0, rng=None, deterministic=True,
 
 
 def mha_self(p, x, bias, nhead, *, dropout_rate=0.0, rng=None,
-             deterministic=True, dtype=None, score_bf16=None):
+             deterministic=True, dtype=None, score_bf16=None,
+             flash_spec=None):
     """Full-sequence self-attention. x: (B, T, D)."""
     in_w = p["in_w"] if dtype is None else p["in_w"].astype(dtype)
     in_b = p["in_b"] if dtype is None else p["in_b"].astype(dtype)
@@ -198,7 +214,7 @@ def mha_self(p, x, bias, nhead, *, dropout_rate=0.0, rng=None,
     out = _attend(
         _split_heads(q, nhead), _split_heads(k, nhead), _split_heads(v, nhead),
         bias, dropout_rate=dropout_rate, rng=rng, deterministic=deterministic,
-        score_bf16=score_bf16,
+        score_bf16=score_bf16, flash_spec=flash_spec,
     )
     out = _merge_heads(out)
     out_w = p["out_w"] if dtype is None else p["out_w"].astype(dtype)
@@ -381,7 +397,7 @@ def _ffn(p, x, activation, *, dropout_rate, rng, deterministic, dtype):
 def encoder_layer_apply(
     p, x, bias, cond, *, nhead, norm_first=True, activation="relu",
     dropout_rate=0.0, rng=None, deterministic=True, dtype=None,
-    score_bf16=None,
+    score_bf16=None, flash_spec=None,
 ):
     """One pre/post-norm encoder layer (reference transformer.py:296-308)."""
     if rng is not None:
@@ -393,7 +409,7 @@ def encoder_layer_apply(
         out = mha_self(p["self_attn"], h, bias, nhead,
                        dropout_rate=dropout_rate, rng=r_attn,
                        deterministic=deterministic, dtype=dtype,
-                       score_bf16=score_bf16)
+                       score_bf16=score_bf16, flash_spec=flash_spec)
         return _dropout(out, dropout_rate, r_d1, deterministic)
 
     def ff(h):
@@ -491,7 +507,7 @@ def init_decoder_stack(rng, num_layers, d, nhead, dim_ff, adaptive,
 def encoder_stack_apply(
     p, x, bias, cond=None, *, nhead, norm_first=True, activation="relu",
     dropout_rate=0.0, rng=None, deterministic=True, dtype=None, remat=False,
-    score_bf16=None,
+    score_bf16=None, flash_spec=None,
 ):
     """Run the scanned layer stack; returns (B, T, D)."""
     num_layers = jax.tree_util.tree_leaves(p["layers"])[0].shape[0]
@@ -503,7 +519,7 @@ def encoder_stack_apply(
             lp, h, bias, cond, nhead=nhead, norm_first=norm_first,
             activation=activation, dropout_rate=dropout_rate, rng=lrng,
             deterministic=deterministic, dtype=dtype,
-            score_bf16=score_bf16,
+            score_bf16=score_bf16, flash_spec=flash_spec,
         )
         return h, None
 

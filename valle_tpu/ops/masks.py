@@ -143,6 +143,94 @@ def packed_nar_attn_bias(
     return jnp.where(visible, 0.0, NEG_INF).astype(dtype)[:, None, :, :]
 
 
+# ---------------------------------------------------------------------------
+# Flash-kernel visibility codes
+#
+# The fused training-attention kernel (ops/flash_mha.py) rebuilds each mask
+# in VMEM from per-position int32 codes instead of streaming an additive
+# bias array: query i sees key j iff ``kcode[j] <= qcode[i]`` (plus
+# same-segment when packed). Every builder below is the code-form twin of
+# the bias builder above it; tests/test_flash_mha.py pins the equivalence.
+# ---------------------------------------------------------------------------
+
+
+def flash_codes_ar_xy(x_lens, y_lens, x_len: int, y_len: int):
+    """Code-form twin of :func:`ar_xy_attn_bias`.
+
+    Text positions carry code 0 (bidirectional prefix); audio position t
+    carries code t+1 so ``kcode <= qcode`` is exactly the causal rule;
+    padded keys get CODE_INVALID. Returns (qcode (B,S), kcode (B,S)) int32.
+    """
+    from .flash_mha import CODE_INVALID
+
+    S = x_len + y_len
+    pos = jnp.arange(S, dtype=jnp.int32)
+    base = jnp.where(pos < x_len, 0, pos - x_len + 1)        # (S,)
+    B = x_lens.shape[0]
+    qcode = jnp.broadcast_to(base, (B, S))
+    kk = pos[None, :]
+    key_valid = jnp.where(
+        kk < x_len, kk < x_lens[:, None], (kk - x_len) < y_lens[:, None])
+    kcode = jnp.where(key_valid, base[None, :], CODE_INVALID)
+    return qcode, kcode.astype(jnp.int32)
+
+
+def flash_codes_padding(x_lens, y_lens, x_len: int, y_len: int):
+    """Code-form twin of :func:`padding_attn_bias` (NAR: padded keys only)."""
+    from .flash_mha import CODE_INVALID
+
+    S = x_len + y_len
+    kk = jnp.arange(S, dtype=jnp.int32)[None, :]
+    key_valid = jnp.where(
+        kk < x_len, kk < x_lens[:, None], (kk - x_len) < y_lens[:, None])
+    B = x_lens.shape[0]
+    qcode = jnp.zeros((B, S), jnp.int32)
+    kcode = jnp.where(key_valid, 0, CODE_INVALID).astype(jnp.int32)
+    return qcode, kcode
+
+
+def flash_codes_key_valid(key_valid):
+    """Codes from an explicit (B, T) key-validity mask (e.g. the NAR
+    prefix-mode 2/4 three-region [text; prompt; y] padding mask)."""
+    from .flash_mha import CODE_INVALID
+
+    B, T = key_valid.shape
+    qcode = jnp.zeros((B, T), jnp.int32)
+    kcode = jnp.where(key_valid, 0, CODE_INVALID).astype(jnp.int32)
+    return qcode, kcode
+
+
+def flash_codes_packed_ar(text_seg, audio_seg):
+    """Code+segment twin of :func:`packed_ar_attn_bias`.
+
+    Returns (qcode, kcode, qseg, kseg); the kernel must be called with
+    ``add_diag=True`` (the packed masks keep the diagonal visible so
+    padded rows stay finite).
+    """
+    S = text_seg.shape[1]
+    seg = jnp.concatenate([text_seg, audio_seg], axis=1).astype(jnp.int32)
+    St = seg.shape[1]
+    pos = jnp.arange(St, dtype=jnp.int32)
+    base = jnp.where(pos < S, 0, pos + 1)    # audio: global order, 1-based
+    B = seg.shape[0]
+    qcode = jnp.broadcast_to(base, (B, St))
+    kcode = qcode
+    # padding (seg < 0): qseg/kseg forced unequal so only the diagonal shows
+    qseg = jnp.where(seg >= 0, seg, -1)
+    kseg = jnp.where(seg >= 0, seg, -2)
+    return qcode, kcode, qseg, kseg
+
+
+def flash_codes_packed_nar(text_seg, audio_seg):
+    """Code+segment twin of :func:`packed_nar_attn_bias` (add_diag=True)."""
+    seg = jnp.concatenate([text_seg, audio_seg], axis=1).astype(jnp.int32)
+    B, St = seg.shape
+    qcode = jnp.zeros((B, St), jnp.int32)
+    qseg = jnp.where(seg >= 0, seg, -1)
+    kseg = jnp.where(seg >= 0, seg, -2)
+    return qcode, qcode, qseg, kseg
+
+
 def causal_bias(T: int, dtype=jnp.float32) -> jnp.ndarray:
     """(1, 1, T, T) inclusive-causal (each query sees keys k <= q) additive bias."""
     q = jnp.arange(T)[:, None]
