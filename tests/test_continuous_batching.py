@@ -220,6 +220,61 @@ def test_continuous_batcher_end_to_end_matches_synthesizer(admission):
         np.testing.assert_allclose(a.wav, b.wav, atol=1e-5)
 
 
+def test_cb_dp_mesh_matches_single_device():
+    """DP-mesh continuous batching (slot table sharded over 'data' via
+    GSPMD — the CB programs are pure XLA, so no shard_map is needed):
+    with slots > requests per wave AND slot recycling in play, every
+    result is bit-identical to the mesh=None run — sampled tokens
+    included (jax_threefry_partitionable keeps the partitioned rng draws
+    equal to the single-device chain)."""
+    from valle_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg(prefix_mode=1)
+    model = ValleModel(cfg)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    tokenizer = TextTokenizer(backend="char")
+    collater = TextTokenCollater(sorted(set("abcdefghijklmnopqrstuvwxyz_")))
+    audio_tok = AudioTokenizer()
+
+    rng = np.random.RandomState(1)
+    reqs = [SynthesisRequest(text=t,
+                             prompt_codes=rng.randint(0, 1024, (5, 8)))
+            for t in ("hello there", "one more", "third request text",
+                      "tiny", "fifth and final sentence", "six",
+                      "seventh request", "the eighth and longest of all",
+                      "nine", "ten closes it")]
+
+    kw = dict(slots=4, text_pad=32, prompt_pad=8, max_gen_len=16,
+              chunk=4, top_k=10, compute_dtype=jnp.float32, seed=11)
+    ref = ContinuousBatcher(model, params, tokenizer, collater, audio_tok,
+                            **kw).run(reqs)
+    got = ContinuousBatcher(
+        model, params, tokenizer, collater, audio_tok,
+        mesh=make_mesh(dp=4, tp=1, devices=jax.devices()[:4]), **kw
+    ).run(reqs)
+    assert len(got) == len(reqs)
+    for a, b in zip(ref, got):
+        assert a.frames == b.frames
+        np.testing.assert_array_equal(a.codes, b.codes)
+        np.testing.assert_allclose(a.wav, b.wav, atol=1e-5)
+
+
+def test_cb_dp_mesh_rejects_bad_shapes():
+    from valle_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg()
+    model = ValleModel(cfg)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    args = (model, params, TextTokenizer(backend="char"),
+            TextTokenCollater(sorted(set("abc "))), AudioTokenizer())
+    with pytest.raises(ValueError, match="divisible"):
+        ContinuousBatcher(*args, slots=3, mesh=make_mesh(
+            dp=2, tp=1, devices=jax.devices()[:2]))
+    with pytest.raises(ValueError, match="DP-only"):
+        ContinuousBatcher(*args, slots=4, mesh=make_mesh(
+            dp=2, tp=2, devices=jax.devices()[:4]))
+
+
 def test_continuous_batcher_rejects_oversized_text():
     cfg = tiny_cfg()
     model = ValleModel(cfg)

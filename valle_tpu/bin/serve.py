@@ -350,10 +350,13 @@ def get_parser():
                              "(lpt = longest text first, the measured "
                              "throughput winner)")
     parser.add_argument("--dp", type=int, default=0,
-                        help="static mode: shard each batch over the first "
-                        "N local devices (DP-only mesh). All decode modes "
-                        "work — Pallas kernel modes run under shard_map, "
-                        "each chip decoding its B/N rows. 0 = one device.")
+                        help="shard serving over the first N local devices "
+                        "(DP-only mesh). Static mode: each batch splits "
+                        "B/N rows per chip (all decode modes — Pallas "
+                        "kernel modes run under shard_map). Continuous "
+                        "mode: the slot table shards slots/N per chip "
+                        "(slots must divide evenly; tokens are exactly "
+                        "the single-device tokens). 0 = one device.")
     parser.add_argument("--max-gen-len", type=int, default=1024)
     parser.add_argument("--top-k", type=int, default=-100)
     parser.add_argument("--temperature", type=float, default=1.0)
@@ -390,29 +393,30 @@ def main():
                   codec_dtype=args.codec_dtype,
                   nar_score_bf16=args.nar_score_bf16,
                   wav_transfer=args.wav_transfer)
+    mesh = None
+    if args.dp:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if args.dp > n_dev:
+            raise SystemExit(
+                f"--dp {args.dp} exceeds the {n_dev} available "
+                f"device(s); pass --dp <= {n_dev}")
+        mesh = make_mesh(dp=args.dp, tp=1,
+                         devices=jax.devices()[: args.dp])
     if args.mode == "continuous":
-        if args.dp:
-            raise SystemExit("--dp applies to static mode (the continuous "
-                             "batcher's slot state is single-device)")
+        if args.dp and args.slots % args.dp:
+            raise SystemExit(
+                f"--slots {args.slots} must be divisible by --dp "
+                f"{args.dp}: the slot table shards evenly over chips")
         engine = ContinuousBatcher(
             model, params, tok, collater, audio_tok, slots=args.slots,
             text_pad=args.text_pad, chunk=args.chunk,
-            admission=args.admission, **common)
+            admission=args.admission, mesh=mesh, **common)
         synth_fn = engine.run
     else:
-        mesh = None
-        if args.dp:
-            import jax
-
-            from ..parallel.mesh import make_mesh
-
-            n_dev = len(jax.devices())
-            if args.dp > n_dev:
-                raise SystemExit(
-                    f"--dp {args.dp} exceeds the {n_dev} available "
-                    f"device(s); pass --dp <= {n_dev}")
-            mesh = make_mesh(dp=args.dp, tp=1,
-                             devices=jax.devices()[: args.dp])
         engine = Synthesizer(model, params, tok, collater, audio_tok,
                              decode_mode=args.decode_mode, mesh=mesh,
                              **common)

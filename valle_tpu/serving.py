@@ -401,13 +401,49 @@ class ContinuousBatcher:
                  unroll_layers: bool = False,
                  admission: str = "lpt",
                  nar_score_bf16: str = "auto",
-                 wav_transfer: str = "pcm16"):
+                 wav_transfer: str = "pcm16", mesh=None):
         import jax
         import jax.numpy as jnp
 
         cfg = model.cfg
         assert cfg.model_name == "valle", "continuous batching targets VALLE"
         self.model = model
+        # mesh: a ('data','model') DP mesh shards the SLOT TABLE over
+        # 'data' — slots/dp decode lanes per chip, params replicated, one
+        # dispatch per chunk for the whole fleet. Unlike the kernel decode
+        # modes (Pallas custom calls are opaque to GSPMD and need the
+        # shard_map recipe, Synthesizer._mesh_kernel_inference), the
+        # continuous-batching programs are pure XLA (cb_decode.py's module
+        # docstring: kernel modes are out of scope BY MEASUREMENT), so jit
+        # auto-partitioning shards them directly: the chunk loop's per-slot
+        # math partitions with zero cross-chip traffic except the scalar
+        # all-done reduction, and — jax_threefry_partitionable — the rng
+        # draws are bit-identical to the single-device program, so tokens
+        # (sampled AND greedy) match mesh=None exactly
+        # (tests/test_continuous_batching.py::test_cb_dp_mesh_*). The host
+        # scheduler stays global: one queue feeding all chips; a freed
+        # slot's refill lands on whichever chip owns that slot row.
+        self.mesh = mesh
+        if mesh is not None:
+            if mesh.shape.get("model", 1) != 1:
+                raise ValueError(
+                    "continuous batching is DP-only: per-slot KV caches "
+                    "shard over 'data'; use a (dp, 1) mesh")
+            dp = mesh.shape["data"]
+            if slots % dp != 0:
+                raise ValueError(
+                    f"slots ({slots}) must be divisible by the mesh "
+                    f"data axis ({dp}): the slot table shards evenly")
+            from .parallel.mesh import param_shardings
+
+            params = jax.device_put(params, param_shardings(params, mesh))
+            if model_state is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                model_state = jax.device_put(
+                    model_state, jax.tree_util.tree_map(
+                        lambda _: NamedSharding(mesh, P()), model_state))
         self.params = params
         self.model_state = model_state
         self.text_tokenizer = text_tokenizer
@@ -436,6 +472,37 @@ class ContinuousBatcher:
         bos = int(cfg.prepend_bos)
         self.cache_len = text_pad + bos + prompt_pad + max_gen_len + 1
         self._rng = jax.random.PRNGKey(seed)
+
+    # -- mesh sharding helpers ----------------------------------------------
+    def _shard_state(self, st):
+        """Lay the slot table out over the mesh: k/v shard slot axis 1,
+        per-slot vectors shard axis 0, the rng key replicates."""
+        if self.mesh is None:
+            return st
+        import jax
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        def spec(name):
+            if name in ("k", "v"):
+                return P(None, "data")
+            if name == "rng":
+                return P()
+            return P("data")
+
+        return {k: jax.device_put(v, NamedSharding(self.mesh, spec(k)))
+                for k, v in st.items()}
+
+    def _shard_rows(self, a):
+        """Shard a wave/group array over its request-row axis 0."""
+        if self.mesh is None:
+            return a
+        import jax
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        return jax.device_put(a, NamedSharding(
+            self.mesh, P("data", *(None,) * (a.ndim - 1))))
 
     # -- per-request preprocessing (fixed shapes) ---------------------------
     def _prep_one(self, r: SynthesisRequest):
@@ -491,6 +558,7 @@ class ContinuousBatcher:
         st = cb_state_init(cfg, slots=self.slots, cache_len=self.cache_len,
                            max_gen_len=self.max_gen_len, rng=rng0,
                            compute_dtype=self.compute_dtype)
+        st = self._shard_state(st)
         occupant = [None] * self.slots       # queue entry per slot
         finished = {}                        # req idx -> (q0 (G,), n)
         stats = {"chunks": 0, "waves": 0, "install_s": 0.0}
@@ -512,12 +580,14 @@ class ContinuousBatcher:
             wave = wave + [wave[0]] * (self.slots - take)
             recs = [entry[1] for _, entry in wave]
             slot_ids = jnp.asarray([s for s, _ in wave], jnp.int32)
-            text = jnp.asarray(np.concatenate([r["text"] for r in recs]))
-            text_lens = jnp.asarray([r["text_len"] for r in recs],
-                                    jnp.int32)
-            q0 = jnp.asarray(
-                np.concatenate([r["prompts"][..., 0] for r in recs]))
-            p_lens = jnp.asarray([r["p_len"] for r in recs], jnp.int32)
+            text = self._shard_rows(
+                jnp.asarray(np.concatenate([r["text"] for r in recs])))
+            text_lens = self._shard_rows(
+                jnp.asarray([r["text_len"] for r in recs], jnp.int32))
+            q0 = self._shard_rows(jnp.asarray(
+                np.concatenate([r["prompts"][..., 0] for r in recs])))
+            p_lens = self._shard_rows(
+                jnp.asarray([r["p_len"] for r in recs], jnp.int32))
             kb, vb, lg0 = cb_prefill(
                 self.params, cfg, text, text_lens, q0, p_lens,
                 cache_len=self.cache_len, compute_dtype=self.compute_dtype,
@@ -596,8 +666,12 @@ class ContinuousBatcher:
                 ntext, nlens = trim_enrolled_text(
                     ntext, nlens, jnp.asarray(enr))
             codes = valle_nar_decode(
-                self.params, cfg, ntext, nlens, jnp.asarray(prompts),
-                jnp.asarray(p_lens), jnp.asarray(q0), jnp.asarray(g_lens),
+                self.params, cfg, self._shard_rows(ntext),
+                self._shard_rows(nlens),
+                self._shard_rows(jnp.asarray(prompts)),
+                self._shard_rows(jnp.asarray(p_lens)),
+                self._shard_rows(jnp.asarray(q0)),
+                self._shard_rows(jnp.asarray(g_lens)),
                 compute_dtype=self.compute_dtype, state=self.model_state,
                 score_bf16=self.nar_score_bf16)
             wavs = self.audio_tokenizer.decode(np.asarray(codes),
