@@ -21,7 +21,20 @@ for fwd+bwd, remat recompute NOT credited) against the v5e bf16 peak of
 Usage:
   benchmarks/run_tpu.sh benchmarks/bench_train_stage.py [ar|nar]
       [remat=full,dots,none] [scorebf16 | score=f32,bf16]
-      [dropout=8,32] [pipe]
+      [dropout=8,32] [impl=einsum,flash] [ostate=f32,bf16] [pipe]
+
+``ostate=`` A/Bs the ScaledAdam state storage dtype (f32 vs bf16
+momentum/second-moment buffers; f32 arithmetic either way) — the
+round-4 ladder priced the optimizer marginal at 10.2 ms of fp32 m/v
+traffic. Losses are identical across ostate arms at step 1 (first
+update differs only in storage rounding).
+
+``impl=`` A/Bs the training-attention implementation IN-PROCESS
+(cfg.attn_impl: einsum vs the fused fwd+bwd Pallas kernels with
+in-kernel dropout, ops/flash_mha.py — the round-4 verdict's named
+frontier). Loss parity between impls is a DRAW difference only
+(different dropout mask generator), so compare against the variant's
+own deterministic loss ordering, not bitwise.
 
 ``pipe`` times with pipelined dispatch (chain steps, materialize once)
 — the trainer's steady-state regime since its metric reads became
@@ -70,6 +83,17 @@ def main():
     for a in args:
         if a.startswith("dropout="):
             dbits_list = [int(x) for x in a.split("=", 1)[1].split(",")]
+    impls = ["einsum"]
+    for a in args:
+        if a.startswith("impl="):
+            impls = a.split("=", 1)[1].split(",")
+    ostates = ["float32"]
+    for a in args:
+        if a.startswith("ostate="):
+            # A/B the ScaledAdam state storage dtype (f32 vs bf16 m/v
+            # buffers — the round-4 ladder's 10.2 ms optimizer marginal)
+            ostates = [{"f32": "float32", "bf16": "bfloat16"}.get(x, x)
+                       for x in a.split("=", 1)[1].split(",")]
     pipe = "pipe" in args  # pipelined timing (deferred materialization)
 
     import jax
@@ -102,8 +126,9 @@ def main():
     cfg0 = ValleConfig(d_model=1024, nhead=16, num_layers=12, prefix_mode=1,
                        num_quantizers=8, max_len=4096)
     params, _ = init_valle(jax.random.PRNGKey(0), cfg0)
-    opt, lr_fn = make_optimizer(params, base_lr=0.05,
-                                train_stage=train_stage)
+    opts = {sd: make_optimizer(params, base_lr=0.05,
+                               train_stage=train_stage, state_dtype=sd)
+            for sd in ostates}
     del params
 
     ks = jax.random.split(jax.random.PRNGKey(1), 2)
@@ -125,7 +150,8 @@ def main():
     rng = jax.random.key(0, impl="rbg")
     results = {}
 
-    def run_variant(name, remat, score_bf16, B, dbits=None):
+    def run_variant(name, remat, score_bf16, B, dbits=None, impl="einsum",
+                    ostate="float32"):
         # Runs in its own frame so EVERY device buffer (batch, train
         # state, step outputs) dies when it returns/raises — an OOM'd
         # b=16 arm used to leave its buffers live and crash the NEXT
@@ -141,7 +167,9 @@ def main():
         useful = 3 * stack_flops(B, T_seq, 1024, 12, V)
         cfg = ValleConfig(d_model=1024, nhead=16, num_layers=12,
                           prefix_mode=1, num_quantizers=8, max_len=4096,
-                          remat=remat, attn_score_bf16=score_bf16)
+                          remat=remat, attn_score_bf16=score_bf16,
+                          attn_impl=impl)
+        opt, lr_fn = opts[ostate]
         state = init_train_state(jax.random.PRNGKey(0), cfg, opt)
         state = state._replace(params=jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)
@@ -183,15 +211,20 @@ def main():
             "loss": round(first_loss, 3),
         }
 
-    variants = [(r, s, b, d) for r in remats for s in scores for b in Bs
-                for d in dbits_list]
-    for remat, score_bf16, B, dbits in variants:
+    variants = [(r, s, b, d, i, o) for r in remats for s in scores
+                for b in Bs for d in dbits_list for i in impls
+                for o in ostates]
+    for remat, score_bf16, B, dbits, impl, ostate in variants:
         name = (f"{stage}_remat_{remat}" + ("_sbf16" if score_bf16 else "")
                 + (f"_b{B}" if len(Bs) > 1 else "")
-                + (f"_d{dbits}" if len(dbits_list) > 1 else ""))
+                + (f"_d{dbits}" if len(dbits_list) > 1 else "")
+                + (f"_{impl}" if len(impls) > 1 else "")
+                + (f"_o{jnp.dtype(ostate).name}" if len(ostates) > 1
+                   else ""))
         print(f"[{name}] compiling...", flush=True)
         try:
-            results[name] = run_variant(name, remat, score_bf16, B, dbits)
+            results[name] = run_variant(name, remat, score_bf16, B, dbits,
+                                        impl, ostate)
         except Exception as e:  # OOM etc.: record and move on
             results[name] = {"error": str(e)[:200]}
             print(f"[{name}] FAILED: {str(e)[:200]}", flush=True)

@@ -118,6 +118,54 @@ def test_scaled_adam_stacked_matches_separate():
                                rtol=1e-5, atol=1e-7)
 
 
+def test_scaled_adam_bf16_state_tracks_f32_trajectory():
+    """state_dtype=bfloat16 (storage-only quantization of delta +
+    exp_avg_sq; f32 arithmetic) is CHARACTERIZED, not parity-matched:
+    over the same 35-step run as the reference-parity test, the final
+    params must track the f32-state trajectory to bf16-commensurate
+    tolerance, and the distance to the optimization TARGET must not
+    degrade (the quantization must not change where the optimizer goes,
+    only dither the path)."""
+    shapes = [(10, 8), (16,), (1,)]
+    lr = 0.03
+    mk32 = lambda: scaled_adam(learning_rate=lr,
+                               stacked_fn=lambda path: False)
+    mk16 = lambda: scaled_adam(learning_rate=lr,
+                               stacked_fn=lambda path: False,
+                               state_dtype=jnp.bfloat16)
+    _, p32 = run_pair(shapes, make_opt=mk32)
+    _, p16 = run_pair(shapes, make_opt=mk16)
+    for a, b in zip(p32, p16):
+        a, b = np.asarray(a), np.asarray(b)
+        # paths dither at bf16 resolution of the per-step delta; after 35
+        # steps the accumulated divergence stays ~1e-2 on O(1) params
+        np.testing.assert_allclose(b, a, rtol=0, atol=5e-2)
+
+    # state dtypes actually stored bf16 (the point of the flag)
+    opt = mk16()
+    st = opt.init([jnp.zeros((4, 4))])
+    assert st.delta[0].dtype == jnp.bfloat16
+    assert st.exp_avg_sq[0].dtype == jnp.bfloat16
+    # tiny keepdims stats stay f32
+    assert st.param_rms[0].dtype == jnp.float32
+
+
+def test_scaled_adam_f32_state_default_unchanged():
+    """The default state_dtype must be a no-op: explicit float32 equals
+    the implicit default bit-for-bit (guards the quantize-then-apply
+    refactor against perturbing the reference-parity path)."""
+    shapes = [(6, 5), (1,)]
+    mk_def = lambda: scaled_adam(learning_rate=0.03,
+                                 stacked_fn=lambda path: False)
+    mk_f32 = lambda: scaled_adam(learning_rate=0.03,
+                                 stacked_fn=lambda path: False,
+                                 state_dtype=jnp.float32)
+    _, pa = run_pair(shapes, make_opt=mk_def, steps=10)
+    _, pb = run_pair(shapes, make_opt=mk_f32, steps=10)
+    for a, b in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_eve_parity():
     ref_optim = load_reference_optim()
     shapes = [(10, 8), (1,)]

@@ -17,13 +17,20 @@ from valle_tpu.training import (
 )
 
 
-def test_overfit_fixed_batch():
+import pytest
+
+
+@pytest.mark.parametrize("state_dtype", ["float32", "bfloat16"])
+def test_overfit_fixed_batch(state_dtype):
+    """bfloat16 arm: the convergence gate for --optim-state-dtype bf16
+    (storage-quantized ScaledAdam momentum/second moments) — the variant
+    must overfit exactly as well as the fp32-state reference path."""
     cfg = ValleConfig(model_name="valle", d_model=32, nhead=2, num_layers=2,
                       prefix_mode=0, num_quantizers=8, max_len=512,
                       dropout=0.0)
     params, _ = init_valle(jax.random.PRNGKey(0), cfg)
     opt, lr_fn = make_optimizer(params, base_lr=0.05, train_stage=0,
-                                warmup_steps=10)
+                                warmup_steps=10, state_dtype=state_dtype)
     state = init_train_state(jax.random.PRNGKey(0), cfg, opt)
     step_fn = jax.jit(make_train_step(cfg, opt, lr_fn, train_stage=0,
                                       accum_steps=1))

@@ -63,6 +63,15 @@ def get_parser():
                              "exp-dir/checkpoint-{start_batch}.")
     parser.add_argument("--exp-dir", type=str, default="exp/valle_dev")
     parser.add_argument("--optimizer-name", type=str, default="ScaledAdam")
+    parser.add_argument("--optim-state-dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="Storage dtype of the per-parameter-sized "
+                             "ScaledAdam buffers (momentum + second "
+                             "moments). bfloat16 halves the optimizer's "
+                             "m/v HBM traffic; arithmetic stays f32 "
+                             "(optim/scaled_adam.py). float32 = exact "
+                             "reference-trajectory parity. Ignored by "
+                             "other optimizers.")
     parser.add_argument("--scheduler-name", type=str, default="Eden")
     parser.add_argument("--base-lr", type=float, default=0.05)
     parser.add_argument("--warmup-steps", type=int, default=200)
@@ -426,7 +435,8 @@ def run(args) -> None:
         train_stage=args.train_stage, warmup_steps=args.warmup_steps,
         optimizer_name=args.optimizer_name,
         scheduler_name=args.scheduler_name,
-        decoder_dim=args.decoder_dim)
+        decoder_dim=args.decoder_dim,
+        state_dtype=args.optim_state_dtype)
     opt_state = opt.init(init_params)
     state = TrainState(params=init_params, opt_state=opt_state,
                        model_state=init_state,

@@ -79,13 +79,28 @@ def scaled_adam(
     clipping_update_period: int = 100,
     stacked_fn: Callable = default_stacked_fn,
     clip_main_grad: bool = False,
+    state_dtype: Any = jnp.float32,
 ) -> optax.GradientTransformation:
     """Build the transformation. Pair with ``optax.inject_hyperparams`` to
     drive ``learning_rate`` from the Eden schedule.
 
     ``stacked_fn(path) -> bool`` marks leaves whose axis 0 stacks several
     logical parameters (per-layer weights): statistics are kept per-slice.
+
+    ``state_dtype`` is the STORAGE dtype of the two per-parameter-sized
+    buffers (``exp_avg_sq`` second moments and the ``delta`` momentum);
+    all arithmetic stays float32 (load -> f32 compute -> store). The
+    round-4 step ladder priced the optimizer marginal at ~10 ms/step —
+    "the bandwidth floor for ~4.7 GB of fp32 m/v/param traffic"
+    (BASELINE.md); bf16 state halves the m/v share of that traffic.
+    bf16 ``exp_avg_sq`` perturbs the denom by <=2^-9 relative; bf16
+    ``delta`` additionally quantizes the RETURNED update (delta IS the
+    step). Both are characterized (not parity-matched) against the fp32
+    trajectory in tests/test_scaled_adam.py and gated by the tiny-corpus
+    convergence test. The tiny keepdims statistics (param_rms,
+    scale_exp_avg_sq, scale_grads) always stay f32.
     """
+    state_dtype = jnp.dtype(state_dtype)
 
     def _axes(p, stacked: bool):
         """Reduction axes for per-parameter statistics."""
@@ -113,9 +128,9 @@ def scaled_adam(
         return ScaledAdamState(
             step=jnp.zeros((), jnp.int32),
             delta=jax.tree_util.tree_map(
-                lambda p: jnp.zeros_like(p, jnp.float32), params),
+                lambda p: jnp.zeros_like(p, state_dtype), params),
             exp_avg_sq=jax.tree_util.tree_map(
-                lambda p: jnp.zeros_like(p, jnp.float32), params),
+                lambda p: jnp.zeros_like(p, state_dtype), params),
             param_rms=tmwp(rms_init, params),
             scale_exp_avg_sq=tmwp(
                 lambda path, p: jnp.zeros_like(rms_init(path, p)), params),
@@ -189,15 +204,20 @@ def scaled_adam(
             g_clip = g_raw * clip
             g = g_clip if clip_main_grad else g_raw
             pf = p.astype(jnp.float32)
-            delta = delta * b1
+            # state buffers load from their storage dtype; ALL arithmetic
+            # is f32; they store back at the end (inert at f32 storage)
+            delta = delta.astype(jnp.float32) * b1
+            eas = eas.astype(jnp.float32)
             if _is_scalar(p, st):
                 # plain Adam for scalars (reference optim.py:639-661)
                 eas = eas * b2 + g * g * (1 - b2)
                 denom = jnp.sqrt(eas / bc2_main) + eps
                 delta = delta + g / denom * (-size_lr * (1 - b1))
-                upd_val = (jnp.clip(pf, -scalar_max, scalar_max) - pf) + delta
-                return _UpdOut(upd_val.astype(p.dtype), delta, eas, rms,
-                               seas, sgrads)
+                delta_st = delta.astype(state_dtype)
+                upd_val = (jnp.clip(pf, -scalar_max, scalar_max) - pf) \
+                    + delta_st.astype(jnp.float32)
+                return _UpdOut(upd_val.astype(p.dtype), delta_st,
+                               eas.astype(state_dtype), rms, seas, sgrads)
 
             axes = _axes(p, st)
             # record this step's scale gradient in the ring buffer
@@ -226,7 +246,11 @@ def scaled_adam(
             denom = jnp.sqrt(eas_eff) + eps
             alpha = -lr * (1 - b1) * jnp.maximum(rms, param_min_rms)
             delta = delta + (g / denom) * alpha
-            return _UpdOut(delta.astype(p.dtype), delta, eas, rms, seas,
+            # the APPLIED update is the STORED delta (quantize-then-apply:
+            # u == next step's momentum buffer, as in the reference)
+            delta_st = delta.astype(state_dtype)
+            return _UpdOut(delta_st.astype(jnp.float32).astype(p.dtype),
+                           delta_st, eas.astype(state_dtype), rms, seas,
                            sgrads)
 
         out = tmwp(upd, params, grads, state.delta, state.exp_avg_sq,

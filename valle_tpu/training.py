@@ -38,13 +38,19 @@ def make_optimizer(params, *, base_lr: float = 0.05,
                    lr_batches: float = 5000.0, lr_epochs: float = 4.0,
                    optimizer_name: str = "ScaledAdam",
                    scheduler_name: str = "Eden",
-                   decoder_dim: int = 1024):
+                   decoder_dim: int = 1024,
+                   state_dtype="float32"):
     """Optimizer + schedule, masked to the train stage's parameter subtree.
 
     Matches the reference optimizer build (``bin/trainer.py:917-977``):
     ScaledAdam (default), Eve, AdamW, Adam; scheduler Eden (default) or
     Noam. Stage masking applies only to models with ar/nar subtrees.
     Returns (optimizer, lr_fn(batch, epoch)).
+
+    ``state_dtype``: storage dtype of the per-parameter-sized ScaledAdam
+    buffers (momentum + second moments) — "float32" (reference parity) or
+    "bfloat16" (halves the optimizer's m/v HBM traffic; f32 arithmetic
+    either way — optim/scaled_adam.py). Ignored by the other optimizers.
     """
     oname = optimizer_name.lower()
     if oname == "scaledadam":
@@ -53,9 +59,10 @@ def make_optimizer(params, *, base_lr: float = 0.05,
         static = {"clipping_scale", "b1", "b2", "scalar_lr_scale", "eps",
                   "param_min_rms", "param_max_rms", "scalar_max",
                   "size_update_period", "clipping_update_period",
-                  "stacked_fn", "clip_main_grad"}
+                  "stacked_fn", "clip_main_grad", "state_dtype"}
         opt = optax.inject_hyperparams(scaled_adam, static_args=static)(
-            learning_rate=base_lr, clipping_scale=clipping_scale)
+            learning_rate=base_lr, clipping_scale=clipping_scale,
+            state_dtype=jnp.dtype(state_dtype))
     elif oname == "eve":
         from .optim.eve import eve
 
