@@ -99,6 +99,50 @@ def test_libritts_prepare_sh(tmp_path):
         data_dir / "tokenized" / "cuts_dev.jsonl.gz")) == 2
 
 
+def test_libritts_run_sh_end_to_end(tmp_path):
+    """The one-command real-data drill (egs/libritts/run.sh: prepare ->
+    AR stage -> NAR stage -> demo synthesis) executes END TO END on a
+    synthetic corpus with shrunken model dims — the command surface the
+    day real data + hardware exist (README "drills" section; reference
+    README.md:84-129). Asserts a demo wav lands."""
+    corpus = tmp_path / "LibriTTS"
+    for part, n in (("train-clean-100", 6), ("dev-clean", 2),
+                    ("test-clean", 2)):
+        for i in range(n):
+            spk, book = 100 + i % 3, 300 + i
+            d = corpus / part / str(spk) / str(book)
+            d.mkdir(parents=True, exist_ok=True)
+            uid = f"{spk}_{book}_000001_000000"
+            _sine_wav(d / f"{uid}.wav", 0.6 + 0.1 * i, seed=i)
+            (d / f"{uid}.normalized.txt").write_text("hello from libritts")
+    data_dir = tmp_path / "data"
+    exp_dir = tmp_path / "exp"
+    env = dict(os.environ)
+    env.update(
+        stage="1", stop_stage="6", corpus_dir=str(corpus),
+        text_extractor="char", data_dir=str(data_dir),
+        train_parts="train-clean-100", exp_dir=str(exp_dir),
+        num_epochs_ar="1", num_epochs_nar="1",
+        max_duration_ar="4", max_duration_nar="4",
+        dtype_ar="float32", dtype_nar="float32",
+        model_args=("--model-name valle --share-embedding true "
+                    "--norm-first true --add-prenet false "
+                    "--decoder-dim 32 --nhead 2 --num-decoder-layers 2 "
+                    "--prefix-mode 1"),
+        train_extra=("--warmup-steps 2 --accumulate-grad-steps 1 "
+                     "--num-buckets 2 --valid-interval 4 "
+                     "--filter-min-duration 0.1"),
+        infer_extra="--text-extractor char --max-gen-len 16",
+        demo_text="hello from libritts",
+    )
+    proc = subprocess.run(
+        ["bash", str(REPO / "egs/libritts/run.sh")],
+        env=env, capture_output=True, text=True, timeout=2400)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    wavs = list((exp_dir / "demos").glob("*.wav"))
+    assert wavs, f"no demo wav produced: {proc.stdout[-2000:]}"
+
+
 def test_aishell1_prepare_sh(tmp_path):
     """AIShell-1 layout: wav/{split}/S*/*.wav + transcript file."""
     corpus = tmp_path / "aishell"

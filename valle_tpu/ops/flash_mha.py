@@ -37,10 +37,15 @@ Layout notes (why these shapes):
 - grid (B, H, nq) with the q-block axis innermost: k/v are fetched to VMEM
   once per (b, h) and revisited across q blocks; in the backward the same
   ordering lets dk/dv accumulate in f32 VMEM scratch and flush once.
-- ``qcode``/``qseg`` ride TRANSPOSED as (S, B) so a (bq, 1) block lands in
-  sublanes and broadcasts against the (1, T) key codes without an
-  in-kernel transpose.
-- LSE is stored (B, S, H): a (1, bq, 1) block is a natural (bq, 1) column.
+- ``qcode``/``qseg`` ride as (B, S, 1) and ``kcode``/``kseg`` as
+  (B, 1, T): a (1, bq, 1) / (1, 1, T) block lands as a (bq, 1) sublane
+  column / (1, T) lane row that broadcast against each other with no
+  in-kernel transpose — AND every block's trailing two dims are either
+  8/128-divisible or equal to the array dims, which Mosaic requires
+  (a (bq, 1)-of-(S, B) layout lowers fine in interpret mode but is
+  rejected by the TPU lowering).
+- LSE is stored (B, H, S, 1): a (1, 1, bq, 1) block is a natural
+  (bq, 1) column and the size-1 lane dim is "equal to overall".
 
 CPU/testing: ``interpret=True`` runs everything except the hardware PRNG
 (not implemented by the interpreter); tests inject ``debug_bits`` (an
@@ -125,16 +130,16 @@ def _fwd_kernel(seeds_ref, q_ref, k_ref, v_ref, qcode_ref, kcode_ref,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale  # (bq, T) f32
 
-    vis = _visible(qcode_ref[:], qseg_ref[:] if static.packed else None,
-                   kcode_ref[:],
-                   kseg_ref[:] if static.packed else None,
+    vis = _visible(qcode_ref[0], qseg_ref[0] if static.packed else None,
+                   kcode_ref[0],
+                   kseg_ref[0] if static.packed else None,
                    static, iq, bq, T)
     s = jnp.where(vis, s, NEG_INF)
 
     m = jnp.max(s, axis=-1, keepdims=True)            # (bq, 1)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    lse_ref[0] = m + jnp.log(l)                       # (bq, 1)
+    lse_ref[0, 0] = m + jnp.log(l)                    # (bq, 1)
 
     if static.thresh > 0:
         keep = _dropout_keep(static, seeds_ref, b, h, iq, bq, T, bits_ref)
@@ -176,12 +181,12 @@ def _bwd_kernel(seeds_ref, q_ref, k_ref, v_ref, qcode_ref, kcode_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
-    vis = _visible(qcode_ref[:], qseg_ref[:] if static.packed else None,
-                   kcode_ref[:],
-                   kseg_ref[:] if static.packed else None,
+    vis = _visible(qcode_ref[0], qseg_ref[0] if static.packed else None,
+                   kcode_ref[0],
+                   kseg_ref[0] if static.packed else None,
                    static, iq, bq, T)
     s = jnp.where(vis, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0])                       # normalized probs
+    p = jnp.exp(s - lse_ref[0, 0])                    # normalized probs
 
     # delta_i = sum_d out_id * g_id  (= sum_j dpd_ij * pd_ij, the softmax
     # vjp's row term — the dropped entries cancel exactly, see module doc)
@@ -227,13 +232,13 @@ def _specs(B, H, nq, bq, T, D, static):
         pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, *_: (b, h, iq, 0)),  # q
         pl.BlockSpec((1, 1, T, D), lambda b, h, iq, *_: (b, h, 0, 0)),    # k
         pl.BlockSpec((1, 1, T, D), lambda b, h, iq, *_: (b, h, 0, 0)),    # v
-        pl.BlockSpec((bq, 1), lambda b, h, iq, *_: (iq, b)),           # qcodeT
-        pl.BlockSpec((1, T), lambda b, h, iq, *_: (b, 0)),             # kcode
+        pl.BlockSpec((1, bq, 1), lambda b, h, iq, *_: (b, iq, 0)),  # qcode
+        pl.BlockSpec((1, 1, T), lambda b, h, iq, *_: (b, 0, 0)),    # kcode
     ]
     if static.packed:
         specs += [
-            pl.BlockSpec((bq, 1), lambda b, h, iq, *_: (iq, b)),       # qsegT
-            pl.BlockSpec((1, T), lambda b, h, iq, *_: (b, 0)),         # kseg
+            pl.BlockSpec((1, bq, 1), lambda b, h, iq, *_: (b, iq, 0)),
+            pl.BlockSpec((1, 1, T), lambda b, h, iq, *_: (b, 0, 0)),
         ]
     if static.use_bits:
         specs.append(
@@ -261,7 +266,7 @@ def _pallas_fwd(q, k, v, qcodeT, kcode, qsegT, kseg, seeds, bits, static):
         in_specs=_specs(B, H, nq, bq, T, D, static),
         out_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, *_: (b, h, iq, 0)),
-            pl.BlockSpec((1, bq, 1), lambda b, h, iq, *_: (b, iq, h)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, iq, *_: (b, h, iq, 0)),
         ],
     )
     out, lse = pl.pallas_call(
@@ -270,7 +275,7 @@ def _pallas_fwd(q, k, v, qcodeT, kcode, qsegT, kseg, seeds, bits, static):
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
-            jax.ShapeDtypeStruct((B, S, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -297,7 +302,7 @@ def _pallas_bwd(q, k, v, qcodeT, kcode, qsegT, kseg, seeds, bits,
 
     in_specs = _specs(B, H, nq, bq, T, D, static) + [
         pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, *_: (b, h, iq, 0)),  # out
-        pl.BlockSpec((1, bq, 1), lambda b, h, iq, *_: (b, iq, h)),        # lse
+        pl.BlockSpec((1, 1, bq, 1), lambda b, h, iq, *_: (b, h, iq, 0)),  # lse
         pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, *_: (b, h, iq, 0)),  # g
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -407,18 +412,19 @@ def flash_mha_train(q, k, v, qcode, kcode, *, qseg=None, kseg=None,
         k = jnp.pad(k, ((0, 0), (0, 0), (0, T_pad - T), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, T_pad - T), (0, 0)))
     # padded queries see nothing (uniform rows, sliced off + loss-masked);
-    # padded keys are invisible to everyone
-    qcodeT = jnp.pad(qcode.astype(jnp.int32).T, ((0, S_pad - S), (0, 0)),
-                     constant_values=-1)
-    kcode = jnp.pad(kcode.astype(jnp.int32), ((0, 0), (0, T_pad - T)),
-                    constant_values=CODE_INVALID)
+    # padded keys are invisible to everyone. Codes ride (B, S, 1) /
+    # (B, 1, T) — see the layout notes in the module docstring.
+    qcode3 = jnp.pad(qcode.astype(jnp.int32), ((0, 0), (0, S_pad - S)),
+                     constant_values=-1)[:, :, None]
+    kcode3 = jnp.pad(kcode.astype(jnp.int32), ((0, 0), (0, T_pad - T)),
+                     constant_values=CODE_INVALID)[:, None, :]
     packed = qseg is not None
-    qsegT = ksegp = None
+    qseg3 = kseg3 = None
     if packed:
-        qsegT = jnp.pad(qseg.astype(jnp.int32).T, ((0, S_pad - S), (0, 0)),
-                        constant_values=-(1 << 20))
-        ksegp = jnp.pad(kseg.astype(jnp.int32), ((0, 0), (0, T_pad - T)),
-                        constant_values=-(2 << 20))
+        qseg3 = jnp.pad(qseg.astype(jnp.int32), ((0, 0), (0, S_pad - S)),
+                        constant_values=-(1 << 20))[:, :, None]
+        kseg3 = jnp.pad(kseg.astype(jnp.int32), ((0, 0), (0, T_pad - T)),
+                        constant_values=-(2 << 20))[:, None, :]
 
     use_bits = debug_bits is not None
     bits = None
@@ -433,7 +439,7 @@ def flash_mha_train(q, k, v, qcode, kcode, *, qseg=None, kseg=None,
 
     static = _Static(bq=bq, thresh=thresh, add_diag=add_diag, packed=packed,
                      use_bits=use_bits, interpret=interpret)
-    out = _flash_core(static, q, k, v, qcodeT, kcode, qsegT, ksegp, seeds,
+    out = _flash_core(static, q, k, v, qcode3, kcode3, qseg3, kseg3, seeds,
                       bits)
     return out[:, :, :S]
 

@@ -152,7 +152,10 @@ class Synthesizer:
                         f"decode_mode='{decode_mode}' needs whole weight "
                         "matrices on each device (Pallas kernels stream "
                         "full weights); with tensor parallelism use "
-                        "'exact' or 'unroll'")
+                        "'exact' or 'unroll'. DP-only is the designed "
+                        "ceiling for the kernel modes at this model size "
+                        "— see BASELINE.md 'Round-5: tensor parallelism "
+                        "for kernel decode' for the roofline argument")
                 self._mesh_shard_kernels = True
             from .parallel.mesh import param_shardings
 
