@@ -301,8 +301,12 @@ class TestNarInference:
 def test_resolver():
     from valle_tpu.models import resolve_attn_impl
 
-    assert resolve_attn_impl("auto") == "einsum"
+    # auto = flash on TPU, einsum elsewhere (tests run on CPU)
+    expect = "flash" if jax.default_backend() == "tpu" else "einsum"
+    assert resolve_attn_impl("auto") == expect
+    assert resolve_attn_impl("auto", "vallf") == "einsum"
     assert resolve_attn_impl("flash") == "flash"
+    assert resolve_attn_impl("einsum") == "einsum"
     assert resolve_attn_impl("flash", "vallf") == "einsum"
     with pytest.raises(ValueError):
         resolve_attn_impl("bogus")

@@ -86,6 +86,26 @@ def test_synthesize_batch_dp_mesh():
                     decode_mode="int8", mesh=make_mesh(tp=2))
 
 
+def test_resolve_nar_attn_impl_policy():
+    import jax
+
+    from valle_tpu.serving import resolve_nar_attn_impl
+
+    # explicit values pass through
+    assert resolve_nar_attn_impl("flash", 32) == "flash"
+    assert resolve_nar_attn_impl("einsum", 1) == "einsum"
+    # auto: flash at B <= 8 on TPU only; einsum for vallf and non-TPU
+    on_tpu = jax.default_backend() == "tpu"
+    assert resolve_nar_attn_impl("auto", 8) == (
+        "flash" if on_tpu else "einsum")
+    assert resolve_nar_attn_impl("auto", 32) == "einsum"
+    assert resolve_nar_attn_impl("auto", 4, "vallf") == "einsum"
+    import pytest
+
+    with pytest.raises(ValueError):
+        resolve_nar_attn_impl("bogus", 8)
+
+
 def test_resolve_nar_score_bf16_policy():
     import jax.numpy as jnp
     import pytest

@@ -184,6 +184,18 @@ def test_nar_score_bf16_agreement_on_trained_weights():
     agr = float((bf_off == bf_on).mean())
     assert agr >= 0.98, agr
 
+    # the flash NAR-pass path (serving resolve_nar_attn_impl picks it at
+    # small batches): exact at fp32, same >=98% trained-weights gate at
+    # bf16 compute (its f32 in-kernel softmax differs from the einsum
+    # path only through bf16 input rounding / accumulation order)
+    f32_flash = np.asarray(valle_nar_decode(
+        *args, compute_dtype=jnp.float32, attn_impl="flash"))
+    assert np.array_equal(f32_off, f32_flash)
+    bf_flash = np.asarray(valle_nar_decode(
+        *args, compute_dtype=jnp.bfloat16, attn_impl="flash"))
+    agr_fl = float((bf_off == bf_flash).mean())
+    assert agr_fl >= 0.98, agr_fl
+
 
 def test_stage_masking_freezes_other_subtree():
     """Stage-1 training must leave every NAR parameter untouched."""

@@ -76,8 +76,9 @@ def add_model_arguments(parser: argparse.ArgumentParser) -> None:
                              "(XLA; S x S scores/probs materialize to HBM) "
                              "or flash (fused fwd+bwd Pallas kernels with "
                              "in-kernel dropout; ops/flash_mha.py). 'auto' "
-                             "picks the measured winner per backend "
-                             "(models.resolve_attn_impl). flash changes "
+                             "= flash on TPU (measured +25%% AR / +8%% NAR "
+                             "step vs the einsum champions, BASELINE.md "
+                             "round-5), einsum elsewhere. flash changes "
                              "the dropout mask draw only (unbiased either "
                              "way); deterministic/fp32 forwards are "
                              "parity-exact. VALL-F always uses einsum.")
@@ -114,15 +115,21 @@ def resolve_score_bf16(mode: str) -> bool:
 
 
 def resolve_attn_impl(mode: str, model_name: str = "valle") -> str:
-    """Resolve ``--attn-impl``. "auto" currently maps to "einsum" — the
-    measured round-4 baseline — until the round-5 step-level A/B
-    (benchmarks/bench_train_stage.py ``--attn-impl``) proves the flash
-    kernels at the recipe shapes; VALL-F's decoder stack has no flash
-    path and always resolves to einsum."""
+    """Resolve ``--attn-impl``. "auto" maps to "flash" on TPU — the
+    round-5 step-level A/B at the recipe shapes measured the fused
+    fwd+bwd kernels at +25% AR (B16, vs the round-4 champion
+    remat=full einsum; 266.4 vs 333.5 ms/step) and +8% NAR (B8, vs
+    einsum with bf16 scores; 295.1 vs 320.0 ms/step) in-session
+    (BASELINE.md round-5, benchmarks/bench_train_stage.py impl=) —
+    and to "einsum" on any other backend (the kernels would run in
+    interpret mode). VALL-F's decoder stack has cross-attention, no
+    flash path: always einsum."""
     if model_name == "vallf":
         return "einsum"
     if mode == "auto":
-        return "einsum"
+        import jax
+
+        return "flash" if jax.default_backend() == "tpu" else "einsum"
     if mode in ("einsum", "flash"):
         return mode
     raise ValueError(f"unknown attn-impl {mode!r}")

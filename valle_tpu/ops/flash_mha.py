@@ -100,8 +100,12 @@ def _dropout_keep(static, seeds_ref, b, h, iq, bq, T, bits_ref):
         from jax.experimental.pallas import tpu as pltpu
 
         # one seed per (b, h, q-block) program: the backward re-seeds with
-        # the same tuple and regenerates the forward's exact mask
-        pltpu.prng_seed(seeds_ref[0], seeds_ref[1], (b * 4096 + h) * 4096 + iq)
+        # the same tuple and regenerates the forward's exact mask. The
+        # program index XORs into the SECOND word (Mosaic supports at
+        # most two seed values): distinct per program for b,h,iq < 4096,
+        # and the fold is reproduced bit-identically by the backward.
+        pltpu.prng_seed(seeds_ref[0],
+                        seeds_ref[1] ^ ((b * 4096 + h) * 4096 + iq))
         bits = pltpu.prng_random_bits((bq, T))
         byte = jnp.bitwise_and(bits.astype(jnp.int32), 255)
     return byte >= static.thresh

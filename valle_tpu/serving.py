@@ -56,6 +56,31 @@ def resolve_nar_score_bf16(mode, compute_dtype) -> bool:
     return mode == "on"
 
 
+def resolve_nar_attn_impl(mode: str, B: int,
+                          model_name: str = "valle") -> str:
+    """Resolve the NAR-refinement-pass attention implementation for a
+    batch of B rows. "auto" = the measured winner (round-5
+    `bench_nar_infer.py`, flagship shapes, one session): the fused flash
+    kernel at B <= 8 (22.8k vs 21.3k frames/s at B=8 — no S×S HBM
+    round-trip) and the einsum path above it (23.2k vs 22.2k at B=32 —
+    at large batch the bf16-score einsum keeps the MXU fed and the
+    kernel's f32 in-VMEM scores stop paying). Non-TPU backends and
+    vallf always resolve to einsum. Token fidelity is gated like
+    nar_score_bf16 (trained-weights >=98% agreement + fp32 exactness,
+    tests/test_training_convergence.py)."""
+    if mode in ("einsum", "flash"):
+        return mode
+    if mode != "auto":
+        raise ValueError(f"nar_attn_impl must be auto|einsum|flash: {mode}")
+    if model_name == "vallf":
+        return "einsum"
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return "einsum"
+    return "flash" if B <= 8 else "einsum"
+
+
 def plan_groups(reqs: Sequence["SynthesisRequest"],
                 group_size: int) -> List[List[int]]:
     """Throughput-oriented batch plan: indices sorted by text length,
@@ -125,6 +150,7 @@ class Synthesizer:
                  decode_mode: str = "exact", mesh=None,
                  codec_dtype: Optional[str] = None,
                  nar_score_bf16: str = "auto",
+                 nar_attn_impl: str = "auto",
                  wav_transfer: str = "pcm16"):
         import jax
         import jax.numpy as jnp
@@ -190,6 +216,9 @@ class Synthesizer:
         # in BASELINE.md round 3). "on"/"off" force it; inert at fp32.
         self.nar_score_bf16 = resolve_nar_score_bf16(
             nar_score_bf16, self.compute_dtype)
+        # NAR-pass attention implementation; "auto" resolves per batch
+        # at synthesis time (flash at B <= 8 — resolve_nar_attn_impl)
+        self.nar_attn_impl = nar_attn_impl
         # waveform device->host representation: int16 PCM halves the
         # dominant transfer cost of batched codec decode and matches the
         # wav container's own precision (AudioTokenizer.decode). Pass
@@ -295,7 +324,10 @@ class Synthesizer:
                 rng=step_rng, max_gen_len=gen_budget,
                 compute_dtype=self.compute_dtype,
                 decode_mode=self.decode_mode, state=self.model_state,
-                nar_score_bf16=self.nar_score_bf16)
+                nar_score_bf16=self.nar_score_bf16,
+                nar_attn_impl=resolve_nar_attn_impl(
+                    self.nar_attn_impl, text_ids.shape[0],
+                    self.model.cfg.model_name))
         # decode the PADDED batch on-device (same static shape as the
         # decode program), then trim the padding rows per request
         wavs = self.audio_tokenizer.decode(np.asarray(codes),
@@ -346,8 +378,11 @@ class Synthesizer:
         if mode in ("int8", "fused_int8", "bf16", "fused_kv", "lanes",
                     "fused_lanes", "mega") and Bs % 8 != 0:
             mode = "fused"               # per-shard grouped-mode rule
+        # NAR impl resolves on the PER-SHARD batch each chip decodes
+        nai = resolve_nar_attn_impl(self.nar_attn_impl, Bs,
+                                    self.model.cfg.model_name)
         key = (B, S, batch[2].shape[1], int(batch[4].shape[0]),
-               gen_budget, mode)
+               gen_budget, mode, nai)
         fn = self._mesh_fn_cache.get(key)
         if fn is None:
             cfg = self.model.cfg
@@ -360,7 +395,8 @@ class Synthesizer:
                     params, cfg, text, tl, pr, pl, enroll_x_lens=el,
                     top_k=top_k, temperature=temp, rng=r,
                     max_gen_len=gen_budget, compute_dtype=cd,
-                    decode_mode=mode, state=mstate, nar_score_bf16=nsb)
+                    decode_mode=mode, state=mstate, nar_score_bf16=nsb,
+                    nar_attn_impl=nai)
 
             pspec = jax.tree_util.tree_map(lambda _: P(), self.params)
             sspec = jax.tree_util.tree_map(lambda _: P(), self.model_state)
@@ -404,6 +440,7 @@ class ContinuousBatcher:
                  unroll_layers: bool = False,
                  admission: str = "lpt",
                  nar_score_bf16: str = "auto",
+                 nar_attn_impl: str = "auto",
                  wav_transfer: str = "pcm16", mesh=None):
         import jax
         import jax.numpy as jnp
@@ -463,6 +500,9 @@ class ContinuousBatcher:
         self.codec_dtype = codec_dtype or "bfloat16"
         self.nar_score_bf16 = resolve_nar_score_bf16(
             nar_score_bf16, self.compute_dtype)
+        # NAR groups run at width `slots`; resolve the impl once here
+        self.nar_attn_impl = resolve_nar_attn_impl(
+            nar_attn_impl, slots, cfg.model_name)
         self.wav_transfer = wav_transfer
         self.unroll_layers = unroll_layers
         if admission not in ("lpt", "fifo"):
@@ -676,7 +716,8 @@ class ContinuousBatcher:
                 self._shard_rows(jnp.asarray(q0)),
                 self._shard_rows(jnp.asarray(g_lens)),
                 compute_dtype=self.compute_dtype, state=self.model_state,
-                score_bf16=self.nar_score_bf16)
+                score_bf16=self.nar_score_bf16,
+                attn_impl=self.nar_attn_impl)
             wavs = self.audio_tokenizer.decode(np.asarray(codes),
                                                dtype=self.codec_dtype,
                                                transfer=self.wav_transfer)
