@@ -249,10 +249,11 @@ def test_preemption_checkpoint(dataset_dir, tokenized_dir, tmp_path):
     orig_install = trainer_mod.install_preemption_handler
 
     def install_and_fire():
-        orig_install()
+        restore = orig_install()
         # deterministic stand-in for an async SIGTERM: the flag is set the
         # way the real handler sets it, before the first step completes
         trainer_mod._on_preempt_signal(signal.SIGTERM, None)
+        return restore
 
     trainer_mod.install_preemption_handler = install_and_fire
     try:
@@ -268,3 +269,37 @@ def test_preemption_checkpoint(dataset_dir, tokenized_dir, tmp_path):
 
     loaded = ckpt_lib.load_checkpoint(str(exp / "preempted"))
     assert loaded is not None
+
+
+def test_preemption_handler_is_scoped():
+    """install_preemption_handler returns a restorer, and run() uses it:
+    a host that embeds the trainer (this pytest process, a notebook, a
+    supervisor) must not keep swallowing external SIGTERM after training
+    returns — observed live: `timeout N pytest` could not stop the suite
+    because an earlier in-process trainer run left the handler installed."""
+    import signal
+
+    import valle_tpu.bin.trainer as trainer_mod
+
+    before_term = signal.getsignal(signal.SIGTERM)
+    before_usr1 = signal.getsignal(signal.SIGUSR1)
+    restore = trainer_mod.install_preemption_handler()
+    try:
+        assert signal.getsignal(signal.SIGTERM) \
+            is trainer_mod._on_preempt_signal
+        assert signal.getsignal(signal.SIGUSR1) \
+            is trainer_mod._on_preempt_signal
+    finally:
+        restore()
+    assert signal.getsignal(signal.SIGTERM) is before_term
+    assert signal.getsignal(signal.SIGUSR1) is before_usr1
+
+    # restore() is conservative: if someone re-bound the signal after
+    # install, it leaves the newer handler alone
+    restore2 = trainer_mod.install_preemption_handler()
+    marker = signal.signal(signal.SIGUSR1, signal.SIG_IGN)
+    assert marker is trainer_mod._on_preempt_signal
+    restore2()
+    assert signal.getsignal(signal.SIGUSR1) is signal.SIG_IGN
+    assert signal.getsignal(signal.SIGTERM) is before_term
+    signal.signal(signal.SIGUSR1, before_usr1)

@@ -332,16 +332,37 @@ def _on_preempt_signal(signum, frame):  # pragma: no cover - signal path
 
 
 def install_preemption_handler():
+    """Install SIGTERM/SIGUSR1 checkpoint-and-exit handlers.
+
+    Returns a zero-arg restorer that reinstates whatever handlers were
+    active before. `run()` calls it on every exit path: a host that
+    embeds the trainer (pytest, a notebook, a supervisor) must not keep
+    swallowing external SIGTERM after training ends — with the handler
+    left installed, TERM merely sets _PREEMPT and no loop is running to
+    act on it, making the process unkillable except by KILL.
+    """
     import signal
     import threading
 
     if threading.current_thread() is not threading.main_thread():
-        return  # signals only deliverable to the main thread
+        return lambda: None  # signals only deliverable to the main thread
+    previous = {}
     for sig in (signal.SIGTERM, signal.SIGUSR1):
         try:
+            previous[sig] = signal.getsignal(sig)
             signal.signal(sig, _on_preempt_signal)
         except (ValueError, OSError):  # pragma: no cover - exotic hosts
-            pass
+            previous.pop(sig, None)
+
+    def restore():
+        for sig, handler in previous.items():
+            try:
+                if signal.getsignal(sig) is _on_preempt_signal:
+                    signal.signal(sig, handler)
+            except (ValueError, OSError):  # pragma: no cover
+                pass
+
+    return restore
 
 
 def save_checkpoint(exp_dir: Path, name: str, params, state, model,
@@ -368,6 +389,17 @@ def save_checkpoint(exp_dir: Path, name: str, params, state, model,
 
 
 def run(args) -> None:
+    """Train; preemption handlers are scoped to the call (restored on
+    every exit path, including the preemption SystemExit itself)."""
+    _PREEMPT["signum"] = None
+    restore = install_preemption_handler() or (lambda: None)
+    try:
+        return _run(args)
+    finally:
+        restore()
+
+
+def _run(args) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -381,8 +413,6 @@ def run(args) -> None:
     )
 
     setup_distributed()
-    _PREEMPT["signum"] = None
-    install_preemption_handler()
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
